@@ -1,0 +1,93 @@
+"""Demodulators: AM / SSB (USB, LSB) / CW / NBFM / IQ.
+
+The reference delegates demodulation to the KiwiSDR server's DSP and only
+selects it by name over the wire (`SET mod=…`, /root/reference/
+utils_supersdr.py:976-980, kiwi/client.py:217-245). Here each mode is a
+pure block function on the *already passband-filtered* complex baseband
+signal produced by `ops.overlap_save` (the passband is the mode's channel
+filter, per `ops.passband` conventions):
+
+  USB/LSB  audio = Re{y}: the one-sided complex bandpass makes y analytic,
+           so the real part is the SSB audio (LSB's passband is the mirror
+           negative-frequency band).
+  CW       identical to USB; the dial-frequency convention already places
+           the carrier at +CW_PITCH inside the 400..800 Hz passband
+           (supersdr.py:664,709).
+  AM       envelope |y| followed by a streaming DC blocker.
+  NBFM     phase-difference discriminator angle(y[n]·conj(y[n-1])),
+           scaled to ±1 at ±max_deviation.
+  IQ       pass-through (complex out), as the library's iq mode
+           (kiwi/client.py:443-454).
+
+Every demod is (carry, y) → (carry, audio) with static shapes, so chains
+vmap over a channel axis and scan over time.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from supersdr_tpu.ops import scans
+
+
+class DemodState(NamedTuple):
+    """Streaming state shared across modes (unused fields stay zero).
+
+    last_sample: final complex input of the previous block (NBFM memory)
+    dc_x, dc_y:  DC-blocker state (AM)
+    """
+    last_sample: jax.Array
+    dc_x: jax.Array
+    dc_y: jax.Array
+
+
+def init_state(batch_shape: tuple[int, ...] = ()) -> DemodState:
+    z = jnp.zeros(batch_shape, jnp.complex64)
+    f = jnp.zeros(batch_shape, jnp.float32)
+    return DemodState(last_sample=z, dc_x=f, dc_y=f)
+
+
+def demod_ssb(state: DemodState, y: jax.Array) -> tuple[DemodState, jax.Array]:
+    """USB / LSB / CW: real part of the analytic (one-sided) signal."""
+    return state, y.real.astype(jnp.float32)
+
+
+def demod_am(state: DemodState, y: jax.Array, dc_r: float = 0.999
+             ) -> tuple[DemodState, jax.Array]:
+    """Envelope detector with streaming DC removal (one-pole blocker)."""
+    env = jnp.abs(y).astype(jnp.float32)
+    audio, (dc_x, dc_y) = scans.dc_block(env, dc_r, state.dc_x, state.dc_y)
+    return state._replace(dc_x=dc_x, dc_y=dc_y), audio
+
+
+def demod_nbfm(state: DemodState, y: jax.Array, fs: float,
+               max_dev_hz: float = 5000.0) -> tuple[DemodState, jax.Array]:
+    """Quadrature discriminator; output ±1 at ±max_dev_hz deviation."""
+    prev = jnp.concatenate([state.last_sample[..., None], y[..., :-1]],
+                           axis=-1)
+    dphi = jnp.angle(y * jnp.conj(prev)).astype(jnp.float32)
+    scale = fs / (2.0 * jnp.pi * max_dev_hz)
+    audio = dphi * scale
+    return state._replace(last_sample=y[..., -1]), audio
+
+
+def demod_iq(state: DemodState, y: jax.Array) -> tuple[DemodState, jax.Array]:
+    return state, y
+
+
+def demodulate(mode: str, state: DemodState, y: jax.Array, fs: float
+               ) -> tuple[DemodState, jax.Array]:
+    """Dispatch by mode name (static — one trace per mode)."""
+    mode = mode.upper()
+    if mode in ("USB", "LSB", "CW"):
+        return demod_ssb(state, y)
+    if mode == "AM":
+        return demod_am(state, y)
+    if mode == "NBFM":
+        return demod_nbfm(state, y, fs)
+    if mode == "IQ":
+        return demod_iq(state, y)
+    raise ValueError(f"unknown mode {mode!r}")
