@@ -9,16 +9,15 @@ phase magnitudes — no accumulated roundoff at long stream lengths.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-@dataclass(frozen=True)
-class NCOParams:
-    """Host-precomputed tuning for one block size.
+class NCOParams(NamedTuple):
+    """Host-precomputed tuning for one block size (a pytree — jit-safe).
 
     ramp:       [block] float32, (n * f_cycles_per_sample) mod 1
     block_inc:  scalar float32, (block * f) mod 1 — per-step phase advance
@@ -27,9 +26,12 @@ class NCOParams:
     block_inc: jax.Array
 
     @staticmethod
-    def make(freq_hz: float, fs: float, block: int) -> "NCOParams":
-        f = np.float64(freq_hz) / np.float64(fs)  # cycles per sample
-        ramp = np.mod(np.arange(block, dtype=np.float64) * f, 1.0)
+    def make(freq_hz, fs: float, block: int) -> "NCOParams":
+        """freq_hz may be a scalar or an array [*batch] of per-channel
+        frequencies; ramp broadcasts to [*batch, block]."""
+        f = np.asarray(freq_hz, np.float64) / np.float64(fs)  # cycles/sample
+        n = np.arange(block, dtype=np.float64)
+        ramp = np.mod(f[..., None] * n, 1.0)
         inc = np.mod(np.float64(block) * f, 1.0)
         return NCOParams(ramp=jnp.asarray(ramp, jnp.float32),
                          block_inc=jnp.asarray(inc, jnp.float32))

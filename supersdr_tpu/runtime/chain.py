@@ -1,0 +1,214 @@
+"""Receiver chain: the complete IQ→audio demodulation program.
+
+This is the TPU-native replacement for the KiwiSDR server-side DSP the
+reference only *controls* (channel selection, passband filtering,
+demodulation, AGC — SURVEY.md §0): one pure jittable function
+
+    process(params, state, iq_chunk) -> (state, ChainOutput)
+
+composing  NCO mix → overlap-save passband filter → demodulator → AGC →
+polyphase resample to the audio rate.  Design points:
+
+* Chunk size is static but arbitrary: 512 samples for low-latency
+  streaming, 2^18+ for offline/wideband throughput — the same program, one
+  trace per shape. Internally the passband filter runs as *batched*
+  overlap-save over `os_block`-sized rows (one big FFT batch, no serial
+  per-block loop), and every recurrence (DC block, AGC tracking) is an
+  associative scan, so a whole chunk evaluates with no sequential
+  sample-rate dependency anywhere.
+* All tuning (frequency, passband taps, AGC settings) is runtime data —
+  retuning never retraces.
+* State (NCO phase, filter history, demod memory, AGC level, resampler
+  tail) is an explicit pytree; consecutive chunks are sample-exact
+  continuous, and the whole chain vmaps over a leading channel axis for
+  multi-receiver operation (the generalization of the reference's dual-RX,
+  supersdr.py:624-639).
+
+Reference control surface being reproduced: `SET mod=… low_cut=… high_cut=…
+freq=…` and `SET agc=…` (utils_supersdr.py:976-980,1022-1029).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supersdr_tpu.ops import agc as agc_ops
+from supersdr_tpu.ops import demod as demod_ops
+from supersdr_tpu.ops import firdesign, mixer, overlap_save, passband, resample
+from supersdr_tpu.ops import smeter
+
+
+@dataclass(frozen=True)
+class ChainConfig:
+    """Static chain structure (hashable; changing any field retraces)."""
+    mode: str = "AM"
+    iq_rate: int = 12000
+    audio_rate: int = 48000
+    chunk: int = 2048          # IQ samples per process() call
+    os_block: int = 2048       # internal overlap-save row length
+    n_taps: int = 513          # fixed passband FIR budget (odd)
+    hang_ms: float = 500.0
+    max_dev_hz: float = 5000.0  # NBFM deviation full-scale
+
+    def __post_init__(self):
+        if self.chunk % self.os_block:
+            raise ValueError("chunk must be a multiple of os_block")
+        if self.n_taps % 2 == 0:
+            raise ValueError("n_taps must be odd")
+
+    @property
+    def os_plan(self) -> overlap_save.OSPlan:
+        return overlap_save.plan_for(self.os_block, self.n_taps)
+
+    @property
+    def upsample(self) -> int:
+        if self.audio_rate % self.iq_rate:
+            raise ValueError("iq_rate must divide audio_rate in this chain")
+        return self.audio_rate // self.iq_rate
+
+    @property
+    def hang_window(self) -> int:
+        return agc_ops.hang_samples(self.iq_rate, self.hang_ms)
+
+    @property
+    def interp_plan(self) -> resample.InterpPlan:
+        plan, _ = resample.design_interp(self.iq_rate, self.audio_rate)
+        return plan
+
+
+class ChainParams(NamedTuple):
+    """Runtime tuning (a pytree of arrays; swap freely without retracing)."""
+    nco: mixer.NCOParams
+    H_pass: jax.Array          # [fft_size] complex64 passband response
+    P_interp: jax.Array        # [per, L] polyphase interpolation matrix
+    agc: agc_ops.AGCParams
+
+
+class ChainState(NamedTuple):
+    phase: jax.Array
+    os_carry: jax.Array
+    demod: demod_ops.DemodState
+    agc: agc_ops.AGCState
+    interp_carry: jax.Array
+
+
+class ChainOutput(NamedTuple):
+    audio: jax.Array     # [*batch, chunk * upsample] float32 at audio_rate
+    rssi: jax.Array      # [*batch, chunk/os_block] per-row RSSI dB
+    baseband: jax.Array  # [*batch, chunk] passband-filtered complex (pre-demod)
+
+
+def make_params(cfg: ChainConfig,
+                freq_offset_hz: float | np.ndarray = 0.0,
+                delta_low: float = 0.0, delta_high: float = 0.0,
+                low_cut: float | None = None,
+                high_cut: float | None = None,
+                agc_kwargs: dict | None = None) -> ChainParams:
+    """Host-side parameter build (float64 design, device float32 results).
+
+    `freq_offset_hz` is the receiver offset within the incoming IQ span
+    (0 for an already-centered capture). Passband defaults follow the
+    app-level mode conventions unless explicit cuts are given.
+    """
+    if low_cut is None or high_cut is None:
+        lc, hc = passband.supersdr_passband(cfg.mode, delta_low, delta_high)
+    else:
+        lc, hc = low_cut, high_cut
+    plan = cfg.os_plan
+    taps = firdesign.complex_bandpass_taps(lc, hc, cfg.iq_rate, n=cfg.n_taps)
+    H = overlap_save.taps_to_freq(plan, taps)
+    _, P = resample.plan_interp(cfg.upsample,
+                                firdesign.lowpass_taps(cfg.iq_rate / 2,
+                                                       cfg.audio_rate))
+    nco = mixer.NCOParams.make(-np.asarray(freq_offset_hz, np.float64),
+                               cfg.iq_rate, cfg.chunk)
+    agc_p = agc_ops.make_params(cfg.iq_rate, **(agc_kwargs or {}))
+    return ChainParams(nco=nco, H_pass=H, P_interp=jnp.asarray(P, jnp.float32),
+                       agc=agc_p)
+
+
+def init_state(cfg: ChainConfig, batch_shape: tuple[int, ...] = ()
+               ) -> ChainState:
+    plan = cfg.os_plan
+    iplan = cfg.interp_plan
+    return ChainState(
+        phase=mixer.init_phase(batch_shape),
+        os_carry=overlap_save.init_carry(plan, batch_shape),
+        demod=demod_ops.init_state(batch_shape),
+        agc=agc_ops.init_state(batch_shape),
+        interp_carry=resample.init_carry(iplan, batch_shape),
+    )
+
+
+@partial(jax.jit, static_argnums=0)
+def process(cfg: ChainConfig, params: ChainParams, state: ChainState,
+            iq: jax.Array) -> tuple[ChainState, ChainOutput]:
+    """Run one chunk through the full chain. iq: [*batch, chunk] complex64."""
+    plan = cfg.os_plan
+    batch = iq.shape[:-1]
+    n_rows = cfg.chunk // cfg.os_block
+
+    # 1. tune: complex mix by -freq_offset
+    phase, x = mixer.mix(params.nco, state.phase, iq.astype(jnp.complex64))
+
+    # 2. passband selection: batched overlap-save rows
+    rows = x.reshape(*batch, n_rows, cfg.os_block)
+    y_rows = overlap_save.overlap_save_batch(plan, params.H_pass,
+                                             state.os_carry, rows)
+    os_carry = x[..., -plan.overlap:]
+    y = y_rows.reshape(*batch, cfg.chunk)
+
+    # 3. per-row RSSI from the passband signal (the reference receives one
+    #    RSSI per 512-sample SND frame; here one per overlap-save row)
+    rssi = smeter.rssi_db(y_rows)
+
+    # 4. demodulate
+    dstate, audio = demod_ops.demodulate(cfg.mode, state.demod, y, cfg.iq_rate)
+
+    # 5. AGC
+    astate, audio = agc_ops.apply(params.agc, state.agc, audio,
+                                  hang_window=cfg.hang_window)
+
+    # 6. resample to the audio rate (IQ mode keeps complex baseband as-is)
+    if cfg.mode.upper() == "IQ":
+        out_audio = audio
+        icarry = state.interp_carry
+    else:
+        icarry, out_audio = resample.interpolate(cfg.interp_plan,
+                                                 params.P_interp,
+                                                 state.interp_carry,
+                                                 audio.astype(jnp.float32))
+
+    new_state = ChainState(phase=phase, os_carry=os_carry, demod=dstate,
+                           agc=astate, interp_carry=icarry)
+    return new_state, ChainOutput(audio=out_audio, rssi=rssi, baseband=y)
+
+
+def run_offline(cfg: ChainConfig, params: ChainParams, iq: np.ndarray,
+                state: ChainState | None = None
+                ) -> tuple[ChainState, np.ndarray, np.ndarray]:
+    """Host convenience: stream an arbitrary-length IQ signal through the
+    chain in `cfg.chunk` slices (zero-padding the tail), returning
+    (final_state, audio, rssi_rows)."""
+    if state is None:
+        state = init_state(cfg, iq.shape[:-1])
+    n = iq.shape[-1]
+    pad = (-n) % cfg.chunk
+    iqp = np.pad(np.asarray(iq, np.complex64),
+                 [(0, 0)] * (iq.ndim - 1) + [(0, pad)])
+    audio_parts, rssi_parts = [], []
+    for i in range(0, iqp.shape[-1], cfg.chunk):
+        state, out = process(cfg, params, state, jnp.asarray(iqp[..., i:i + cfg.chunk]))
+        audio_parts.append(np.asarray(out.audio))
+        rssi_parts.append(np.asarray(out.rssi))
+    audio = np.concatenate(audio_parts, axis=-1)
+    rssi = np.concatenate(rssi_parts, axis=-1)
+    if cfg.mode.upper() != "IQ":
+        audio = audio[..., : n * cfg.upsample]
+    return state, audio, rssi
