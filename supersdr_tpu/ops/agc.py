@@ -83,18 +83,21 @@ def hang_samples(fs: float, hang_ms: float = 500.0) -> int:
 
 
 def apply(params: AGCParams, state: AGCState, audio: jax.Array,
-          hang_window: int = 1) -> tuple[AGCState, jax.Array]:
+          hang_window: int = 1, axis_name: str | None = None
+          ) -> tuple[AGCState, jax.Array]:
     """Apply AGC to one block. audio: [*batch, n] float32 (or complex for
     IQ-mode level control — envelope uses |.|). `hang_window` is static
-    (samples; from `hang_samples(fs)`)."""
+    (samples; from `hang_samples(fs)`). With `axis_name` (inside shard_map
+    over a time-sharded axis) the ballistics run exactly across shards."""
     env = jnp.abs(audio).astype(jnp.float32)
     env_db = 20.0 * jnp.log10(jnp.maximum(env, ENV_FLOOR))
 
     # peak tracking: y[n] = max(y[n-1] - d, env_db[n])  (max-plus scan)
     d = jnp.broadcast_to(-params.decay_per_sample_db, env_db.shape)
-    peak_db = scans.maxplus_scan(d, env_db, state.peak_db)
+    peak_db = scans.maxplus_scan(d, env_db, state.peak_db,
+                                 axis_name=axis_name)
     if hang_window > 1:
-        held = scans.sliding_max(peak_db, hang_window)
+        held = scans.sliding_max(peak_db, hang_window, axis_name=axis_name)
         peak_db = jnp.where(params.hang > 0, held, peak_db)
 
     # kneed gain law
@@ -108,7 +111,7 @@ def apply(params: AGCParams, state: AGCState, audio: jax.Array,
     # attack smoothing (one-pole, parallel linear scan)
     a = jnp.broadcast_to(params.attack_coeff, gain_db.shape)
     gain_db = scans.linear_scan(a, (1.0 - params.attack_coeff) * gain_db,
-                                state.gain_db)
+                                state.gain_db, axis_name=axis_name)
 
     out = audio * jnp.power(10.0, gain_db / 20.0).astype(audio.dtype)
     new_state = AGCState(peak_db=peak_db[..., -1], gain_db=gain_db[..., -1])

@@ -55,19 +55,25 @@ def demod_ssb(state: DemodState, y: jax.Array) -> tuple[DemodState, jax.Array]:
     return state, y.real.astype(jnp.float32)
 
 
-def demod_am(state: DemodState, y: jax.Array, dc_r: float = 0.999
-             ) -> tuple[DemodState, jax.Array]:
+def demod_am(state: DemodState, y: jax.Array, dc_r: float = 0.999,
+             axis_name: str | None = None) -> tuple[DemodState, jax.Array]:
     """Envelope detector with streaming DC removal (one-pole blocker)."""
     env = jnp.abs(y).astype(jnp.float32)
-    audio, (dc_x, dc_y) = scans.dc_block(env, dc_r, state.dc_x, state.dc_y)
+    audio, (dc_x, dc_y) = scans.dc_block(env, dc_r, state.dc_x, state.dc_y,
+                                         axis_name=axis_name)
     return state._replace(dc_x=dc_x, dc_y=dc_y), audio
 
 
 def demod_nbfm(state: DemodState, y: jax.Array, fs: float,
-               max_dev_hz: float = 5000.0) -> tuple[DemodState, jax.Array]:
+               max_dev_hz: float = 5000.0, axis_name: str | None = None
+               ) -> tuple[DemodState, jax.Array]:
     """Quadrature discriminator; output ±1 at ±max_dev_hz deviation."""
-    prev = jnp.concatenate([state.last_sample[..., None], y[..., :-1]],
-                           axis=-1)
+    first = jnp.broadcast_to(state.last_sample, y[..., 0].shape)
+    if axis_name is not None:
+        neighbor = scans.left_halo(y, 1, axis_name)[..., 0]
+        idx = jax.lax.axis_index(axis_name)
+        first = jnp.where(idx == 0, first, neighbor)
+    prev = jnp.concatenate([first[..., None], y[..., :-1]], axis=-1)
     dphi = jnp.angle(y * jnp.conj(prev)).astype(jnp.float32)
     scale = fs / (2.0 * jnp.pi * max_dev_hz)
     audio = dphi * scale
@@ -78,16 +84,16 @@ def demod_iq(state: DemodState, y: jax.Array) -> tuple[DemodState, jax.Array]:
     return state, y
 
 
-def demodulate(mode: str, state: DemodState, y: jax.Array, fs: float
-               ) -> tuple[DemodState, jax.Array]:
+def demodulate(mode: str, state: DemodState, y: jax.Array, fs: float,
+               axis_name: str | None = None) -> tuple[DemodState, jax.Array]:
     """Dispatch by mode name (static — one trace per mode)."""
     mode = mode.upper()
     if mode in ("USB", "LSB", "CW"):
         return demod_ssb(state, y)
     if mode == "AM":
-        return demod_am(state, y)
+        return demod_am(state, y, axis_name=axis_name)
     if mode == "NBFM":
-        return demod_nbfm(state, y, fs)
+        return demod_nbfm(state, y, fs, axis_name=axis_name)
     if mode == "IQ":
         return demod_iq(state, y)
     raise ValueError(f"unknown mode {mode!r}")

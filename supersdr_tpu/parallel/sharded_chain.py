@@ -1,0 +1,150 @@
+"""Mesh-sharded receiver chains: channel × time parallelism over ICI.
+
+This is where the framework scales past one chip (BASELINE.md: ≥1 Gsample/s
+aggregate, ≥80 % efficiency): the same chain as `runtime.chain`, executed
+under `shard_map` over a ('chan', 'time') mesh:
+
+  chan — virtual receivers split across devices; no communication.
+  time — one long capture split into contiguous shards along the sample
+         axis. Cross-shard coupling is tiny and explicit:
+           * overlap-save filter history   → ppermute halo (n_taps-1 samples)
+           * resampler history             → ppermute halo (per-1 samples)
+           * NBFM phase memory             → ppermute halo (1 sample)
+           * DC-blocker / AGC recurrences  → two-level associative scans
+             (O(D) scalars all-gathered; ops/scans.py axis_name support)
+         so per-device traffic is O(n_taps + D) regardless of shard length
+         — the halo-exchange structure of ring attention applied to DSP.
+
+Semantics: the sharded program is *sample-exact* equal to the single-device
+chain — verified by tests on an 8-device CPU mesh — and streaming state
+(entering/leaving a chunk) is fully preserved, so consecutive chunks chain
+across calls exactly as the serial version does.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from supersdr_tpu.ops import agc as agc_ops
+from supersdr_tpu.ops import demod as demod_ops
+from supersdr_tpu.ops import mixer, overlap_save, resample, scans, smeter
+from supersdr_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
+from supersdr_tpu.runtime import chain as chain_mod
+from supersdr_tpu.runtime.chain import (ChainConfig, ChainOutput, ChainParams,
+                                        ChainState)
+
+
+def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
+                  iq: jax.Array):
+    """shard_map body. iq: [C_local, N_local] complex64. cfg.chunk must
+    equal N_local. Returns (per-shard-stacked state, output)."""
+    plan = cfg.os_plan
+    t_idx = jax.lax.axis_index(TIME_AXIS)
+    batch = iq.shape[:-1]
+    n_rows = cfg.chunk // cfg.os_block
+
+    # 1. NCO with per-time-shard phase base: shard t starts at t*N_local
+    phase0 = jnp.mod(state.phase + t_idx.astype(jnp.float32)
+                     * params.nco.block_inc, 1.0)
+    _, x = mixer.mix(params.nco, phase0, iq.astype(jnp.complex64))
+    phase_out = jnp.mod(state.phase
+                        + (t_idx.astype(jnp.float32) + 1.0)
+                        * params.nco.block_inc, 1.0)
+
+    # 2. overlap-save passband; history = left neighbor's tail (halo) or the
+    #    incoming stream state on shard 0
+    halo = scans.left_halo(x, plan.overlap, TIME_AXIS)
+    head = jnp.where(t_idx == 0, state.os_carry.astype(jnp.complex64), halo)
+    rows = x.reshape(*batch, n_rows, cfg.os_block)
+    y_rows = overlap_save.overlap_save_batch(plan, params.H_pass, head, rows)
+    os_carry = x[..., -plan.overlap:]
+    y = y_rows.reshape(*batch, cfg.chunk)
+
+    rssi = smeter.rssi_db(y_rows)
+
+    # 3-4. demod + AGC with exact cross-shard recurrences
+    dstate, audio = demod_ops.demodulate(cfg.mode, state.demod, y,
+                                         cfg.iq_rate, axis_name=TIME_AXIS)
+    astate, audio = agc_ops.apply(params.agc, state.agc, audio,
+                                  hang_window=cfg.hang_window,
+                                  axis_name=TIME_AXIS)
+
+    # 5. resample; history halo in the audio domain
+    if cfg.mode.upper() == "IQ":
+        out_audio = audio
+        icarry = state.interp_carry
+    else:
+        iplan = cfg.interp_plan
+        audio = audio.astype(jnp.float32)
+        ihalo = scans.left_halo(audio, iplan.history, TIME_AXIS)
+        ihead = jnp.where(t_idx == 0, state.interp_carry, ihalo)
+        icarry, out_audio = resample.interpolate(iplan, params.P_interp,
+                                                 ihead, audio)
+    new_state = ChainState(phase=phase_out, os_carry=os_carry, demod=dstate,
+                           agc=astate, interp_carry=icarry)
+    # stack a leading per-time-shard axis so the caller can take shard D-1
+    stacked = jax.tree.map(lambda s: s[None], new_state)
+    return stacked, ChainOutput(audio=out_audio, rssi=rssi, baseband=y)
+
+
+def build(cfg: ChainConfig, mesh: Mesh):
+    """Compile the sharded chain for `mesh`. cfg.chunk is the *per-device*
+    time-shard length. Returns process(params, state, iq) where
+      iq    : [n_chan, chunk * n_time_shards]  sharded P(chan, time)
+      state : leaves with leading [n_chan] axis, sharded P(chan)
+    and the returned state is the end-of-chunk stream state (from the last
+    time shard), directly usable for the next call.
+    """
+    n_time = mesh.shape[TIME_AXIS]
+
+    params_spec = ChainParams(
+        nco=mixer.NCOParams(ramp=P(CHAN_AXIS, None), block_inc=P(CHAN_AXIS)),
+        H_pass=P(), P_interp=P(),
+        agc=jax.tree.map(lambda _: P(), agc_ops.make_params(cfg.iq_rate)),
+    )
+    state_spec = ChainState(
+        phase=P(CHAN_AXIS),
+        os_carry=P(CHAN_AXIS, None),
+        demod=demod_ops.DemodState(last_sample=P(CHAN_AXIS),
+                                   dc_x=P(CHAN_AXIS), dc_y=P(CHAN_AXIS)),
+        agc=agc_ops.AGCState(peak_db=P(CHAN_AXIS), gain_db=P(CHAN_AXIS)),
+        interp_carry=P(CHAN_AXIS, None),
+    )
+    out_state_spec = jax.tree.map(
+        lambda p: P(TIME_AXIS, *p), state_spec)
+    out_spec = (out_state_spec,
+                ChainOutput(audio=P(CHAN_AXIS, TIME_AXIS),
+                            rssi=P(CHAN_AXIS, TIME_AXIS),
+                            baseband=P(CHAN_AXIS, TIME_AXIS)))
+
+    body = partial(_sharded_body, cfg)
+    sharded = jax.shard_map(body, mesh=mesh,
+                            in_specs=(params_spec, state_spec,
+                                      P(CHAN_AXIS, TIME_AXIS)),
+                            out_specs=out_spec, check_vma=False)
+
+    @jax.jit
+    def process(params: ChainParams, state: ChainState, iq: jax.Array):
+        stacked, out = sharded(params, state, iq)
+        final = jax.tree.map(lambda s: s[-1], stacked)
+        return final, out
+
+    return process
+
+
+def make_params(cfg: ChainConfig, n_chan: int,
+                freq_offsets_hz: np.ndarray | float = 0.0,
+                **kwargs) -> ChainParams:
+    """Per-channel params for the sharded chain: freq offsets broadcast to
+    [n_chan]; everything else as chain.make_params."""
+    offs = np.broadcast_to(np.asarray(freq_offsets_hz, np.float64), (n_chan,))
+    return chain_mod.make_params(cfg, freq_offset_hz=offs, **kwargs)
+
+
+def init_state(cfg: ChainConfig, n_chan: int) -> ChainState:
+    return chain_mod.init_state(cfg, (n_chan,))

@@ -1,0 +1,155 @@
+"""Multi-chip correctness without a pod (SURVEY.md §4): the mesh-sharded
+chain must equal the single-device chain sample-exactly on a virtual
+8-device CPU mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from supersdr_tpu.parallel import mesh as mesh_mod
+from supersdr_tpu.parallel import sharded_chain
+from supersdr_tpu.runtime import chain
+
+AGC_ON = dict(on=True, thresh_db=-80, decay_ms=1000)
+
+
+def make_iq(n, n_chan=1, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 12000
+    out = []
+    for c in range(n_chan):
+        tone = np.exp(2j * np.pi * (800 + 400 * c) * t)
+        noise = 0.05 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+        out.append(tone + noise)
+    return np.stack(out).astype(np.complex64)
+
+
+@pytest.mark.parametrize("mode", ["USB", "AM", "NBFM", "CW"])
+def test_time_sharded_equals_serial(mode):
+    n_dev = 8
+    local = 2048
+    n = local * n_dev
+    iq = make_iq(n, n_chan=1)
+
+    # single-device reference
+    cfg_ref = chain.ChainConfig(mode=mode, chunk=n, os_block=local)
+    p_ref = chain.make_params(cfg_ref, freq_offset_hz=np.zeros(1),
+                              agc_kwargs=AGC_ON)
+    s_ref = chain.init_state(cfg_ref, (1,))
+    _, out_ref = chain.process(cfg_ref, p_ref, s_ref, jnp.asarray(iq))
+
+    # 8-way time-sharded
+    m = mesh_mod.time_mesh()
+    cfg_sh = chain.ChainConfig(mode=mode, chunk=local, os_block=local)
+    proc = sharded_chain.build(cfg_sh, m)
+    p_sh = sharded_chain.make_params(cfg_sh, n_chan=1, agc_kwargs=AGC_ON)
+    s_sh = sharded_chain.init_state(cfg_sh, 1)
+    _, out_sh = proc(p_sh, s_sh, jnp.asarray(iq))
+
+    np.testing.assert_allclose(np.asarray(out_sh.audio),
+                               np.asarray(out_ref.audio),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out_sh.rssi),
+                               np.asarray(out_ref.rssi), atol=0.01)
+
+
+def test_chan_time_grid_sharded():
+    n_dev_chan, n_dev_time = 2, 4
+    local = 2048
+    n = local * n_dev_time
+    n_chan = 4
+    iq = make_iq(n, n_chan=n_chan)
+    offsets = np.array([0.0, 200.0, -150.0, 500.0])
+
+    cfg_ref = chain.ChainConfig(mode="USB", chunk=n, os_block=local)
+    p_ref = chain.make_params(cfg_ref, freq_offset_hz=offsets,
+                              agc_kwargs=AGC_ON)
+    s_ref = chain.init_state(cfg_ref, (n_chan,))
+    _, out_ref = chain.process(cfg_ref, p_ref, s_ref, jnp.asarray(iq))
+
+    m = mesh_mod.make_mesh(n_chan=n_dev_chan, n_time=n_dev_time)
+    cfg_sh = chain.ChainConfig(mode="USB", chunk=local, os_block=local)
+    proc = sharded_chain.build(cfg_sh, m)
+    p_sh = sharded_chain.make_params(cfg_sh, n_chan=n_chan,
+                                     freq_offsets_hz=offsets,
+                                     agc_kwargs=AGC_ON)
+    s_sh = sharded_chain.init_state(cfg_sh, n_chan)
+    _, out_sh = proc(p_sh, s_sh, jnp.asarray(iq))
+
+    np.testing.assert_allclose(np.asarray(out_sh.audio),
+                               np.asarray(out_ref.audio),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_streaming_state_chains_across_calls():
+    """Two consecutive sharded chunks == one long serial run."""
+    n_dev = 8
+    local = 1024
+    n_chunk = local * n_dev
+    iq = make_iq(2 * n_chunk, n_chan=1, seed=3)
+
+    cfg_ref = chain.ChainConfig(mode="AM", chunk=2 * n_chunk, os_block=local)
+    p_ref = chain.make_params(cfg_ref, freq_offset_hz=np.zeros(1),
+                              agc_kwargs=AGC_ON)
+    s_ref = chain.init_state(cfg_ref, (1,))
+    _, out_ref = chain.process(cfg_ref, p_ref, s_ref, jnp.asarray(iq))
+
+    m = mesh_mod.time_mesh()
+    cfg_sh = chain.ChainConfig(mode="AM", chunk=local, os_block=local)
+    proc = sharded_chain.build(cfg_sh, m)
+    p_sh = sharded_chain.make_params(cfg_sh, n_chan=1, agc_kwargs=AGC_ON)
+    state = sharded_chain.init_state(cfg_sh, 1)
+    state, out1 = proc(p_sh, state, jnp.asarray(iq[:, :n_chunk]))
+    state, out2 = proc(p_sh, state, jnp.asarray(iq[:, n_chunk:]))
+    audio = np.concatenate([np.asarray(out1.audio), np.asarray(out2.audio)],
+                           axis=-1)
+    np.testing.assert_allclose(audio, np.asarray(out_ref.audio),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_scan_primitives():
+    """Direct check of the cross-shard scan machinery on an 8-device mesh."""
+    from jax.sharding import PartitionSpec as P
+    from supersdr_tpu.ops import scans
+
+    devs = jax.devices()
+    m = jax.sharding.Mesh(np.asarray(devs), ("t",))
+    rng = np.random.default_rng(0)
+    n = 8 * 64
+    a = rng.uniform(0.8, 0.999, n).astype(np.float32)
+    b = rng.normal(size=n).astype(np.float32)
+
+    ref = scans.linear_scan(jnp.asarray(a), jnp.asarray(b), 0.5)
+
+    def body(al, bl):
+        return scans.linear_scan(al, bl, 0.5, axis_name="t")
+
+    got = jax.jit(jax.shard_map(body, mesh=m, in_specs=(P("t"), P("t")),
+                                out_specs=P("t"), check_vma=False))(
+        jnp.asarray(a), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    ref2 = scans.maxplus_scan(jnp.asarray(-np.abs(a)), jnp.asarray(b), -50.0)
+
+    def body2(al, bl):
+        return scans.maxplus_scan(al, bl, -50.0, axis_name="t")
+
+    got2 = jax.jit(jax.shard_map(body2, mesh=m, in_specs=(P("t"), P("t")),
+                                 out_specs=P("t"), check_vma=False))(
+        jnp.asarray(-np.abs(a)), jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2),
+                               rtol=1e-4, atol=1e-4)
+
+    # sliding max across shard boundaries
+    x = rng.normal(size=n).astype(np.float32)
+    ref3 = scans.sliding_max(jnp.asarray(x), 48)
+
+    def body3(xl):
+        return scans.sliding_max(xl, 48, axis_name="t")
+
+    got3 = jax.jit(jax.shard_map(body3, mesh=m, in_specs=P("t"),
+                                 out_specs=P("t"), check_vma=False))(
+        jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3))
