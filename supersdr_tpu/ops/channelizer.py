@@ -1,0 +1,147 @@
+"""Polyphase filterbank channelizer: one wideband capture → M virtual
+receivers.
+
+The reference caps out at two receivers, each a separate server socket
+(supersdr.py:624-639); BASELINE.md's channelizer config wants 100+ AM
+channels from a full MW-band capture. The TPU formulation is the classic
+weighted-overlap-add (WOLA) polyphase filterbank:
+
+    x framed at hop M  →  [n_frames, K·M] windows
+    multiply by the polyphase-decomposed prototype and fold K taps
+    (an einsum → MXU work)  →  [n_frames, M]
+    IFFT across the M axis  →  per-channel complex baseband at fs/M
+
+Channel m is centered at m·fs/M (wrapped to ±fs/2). Critically sampled by
+default; `osr=2` gives 2× oversampled channels (hop M/2) whose extra
+bandwidth tolerates per-channel passband offsets.
+
+The output [..., M, n_frames] feeds the batched receiver chain directly
+(channel axis = vmap/shard axis), so wideband → thousands of demodulated
+audio streams is two fused device programs end to end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supersdr_tpu.ops import firdesign
+
+
+@dataclass(frozen=True)
+class PFBPlan:
+    """Static channelizer structure.
+
+    n_chan:   number of channels M (FFT length across the filterbank)
+    taps_per: prototype taps per branch K (prototype length = K·M)
+    hop:      input samples per output frame (M for critical sampling,
+              M//osr when oversampled)
+    """
+    n_chan: int
+    taps_per: int
+    hop: int
+
+    @property
+    def window_len(self) -> int:
+        return self.n_chan * self.taps_per
+
+    @property
+    def history(self) -> int:
+        return self.window_len - self.hop
+
+
+def design(n_chan: int, taps_per: int = 8, osr: int = 1,
+           cutoff_scale: float = 1.0) -> tuple[PFBPlan, np.ndarray]:
+    """Design the prototype lowpass and plan. Cutoff at
+    `cutoff_scale · fs/(2M)` (channel half-width), Blackman-windowed sinc
+    with the framework's design rule at fixed length K·M."""
+    if osr not in (1, 2, 4):
+        raise ValueError("osr must be 1, 2 or 4")
+    if n_chan % osr:
+        raise ValueError("n_chan must be divisible by osr")
+    n = n_chan * taps_per
+    if n % 2 == 0:
+        # design rule wants odd; design at n+1 then drop the last (zero-ish)
+        proto = firdesign.lowpass_taps_n(cutoff_scale * 0.5 / n_chan, 1.0,
+                                        n + 1)[:-1]
+    else:
+        proto = firdesign.lowpass_taps_n(cutoff_scale * 0.5 / n_chan, 1.0, n)
+    proto = proto / proto.sum()  # unity per-channel passband (DC) gain
+    plan = PFBPlan(n_chan=n_chan, taps_per=taps_per, hop=n_chan // osr)
+    return plan, proto.astype(np.float64)
+
+
+def taps_matrix(plan: PFBPlan, proto: np.ndarray) -> jnp.ndarray:
+    """Polyphase weights as [taps_per, n_chan] (row k = taps[k·M .. k·M+M))
+    in time-reversed fold order for the WOLA sum."""
+    W = proto.reshape(plan.taps_per, plan.n_chan)
+    return jnp.asarray(W, jnp.float32)
+
+
+def init_carry(plan: PFBPlan, batch_shape: tuple[int, ...] = (),
+               dtype=jnp.complex64) -> jax.Array:
+    return jnp.zeros(batch_shape + (plan.history,), dtype=dtype)
+
+
+@partial(jax.jit, static_argnums=0)
+def channelize(plan: PFBPlan, W: jax.Array, carry: jax.Array, x: jax.Array
+               ) -> tuple[jax.Array, jax.Array]:
+    """One streaming step. x: [*batch, n] complex64 with n % hop == 0.
+
+    Returns (new_carry, channels [*batch, n_chan, n // hop]) where
+    channels[m, t] is the complex baseband of the band centered at
+    m·fs/n_chan (m interpreted mod M, i.e. m > M/2 are negative freqs),
+    decimated to fs/hop, with the per-channel mixer phase referenced to the
+    *stream* origin so consecutive calls are continuous.
+
+    Matches the direct implementation
+        y[m, t] = Σ_j proto[j] · x[t·hop - j] · e^{+2πi m (t·hop - j)/M}
+    evaluated blockwise (j over the window, x padded with the carry).
+    """
+    n = x.shape[-1]
+    if n % plan.hop:
+        raise ValueError("block length must be a multiple of the hop")
+    if n % plan.n_chan:
+        raise ValueError("block length must be a multiple of n_chan "
+                         "(keeps channel mixer phase continuous across calls)")
+    n_frames = n // plan.hop
+    M, K, hop = plan.n_chan, plan.taps_per, plan.hop
+    seg = jnp.concatenate([carry, x], axis=-1)   # [..., history + n]
+
+    # frame into overlapping windows of K·M, newest sample last:
+    # frames[t, p] = x[s_t - (KM-1) + p] with s_t = t·hop + hop - 1
+    idx = (jnp.arange(n_frames)[:, None] * hop
+           + jnp.arange(plan.window_len)[None, :])
+    frames = seg[..., idx]                        # [..., n_frames, K·M]
+
+    # Derivation: y[m,t] = Σ_j h[j] x[s_t-j] e^{-2πi m (s_t-j)/M}.  With
+    # g[p] = h[KM-1-p] (time-reversed prototype) and p = kM + r,
+    #   y[m,t] = e^{2πi m ((KM-1) - s_t)/M} · FFT_M{ fold }[m],
+    #   fold[r] = Σ_k (g·frames)[kM + r].
+    g = W.reshape(-1)[::-1]
+    fold = (frames * g).reshape(*frames.shape[:-1], K, M).sum(-2)
+    spec = jnp.fft.fft(fold, axis=-1)             # [..., n_frames, M]
+
+    # (KM-1) - s_t = history - t·hop  (mod M); for critical sampling
+    # (hop = M) this is 0 — no rotation at all.
+    m_idx = jnp.arange(M)
+    t_idx = jnp.arange(n_frames)
+    rot = (plan.history - t_idx[:, None] * hop) % M
+    phase = jnp.exp((2j * jnp.pi / M) * (m_idx[None, :] * rot))
+    chans = spec * phase.astype(spec.dtype)
+
+    new_carry = seg[..., -plan.history:]
+    out = jnp.moveaxis(chans, -2, -1)             # [..., M, n_frames]
+    return new_carry, out
+
+
+def channel_center_freqs(plan: PFBPlan, fs: float) -> np.ndarray:
+    """Center frequency (Hz, wrapped to ±fs/2) of each channel index."""
+    m = np.arange(plan.n_chan)
+    f = m * fs / plan.n_chan
+    f[f >= fs / 2] -= fs
+    return f

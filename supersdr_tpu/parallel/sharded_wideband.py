@@ -1,0 +1,102 @@
+"""Mesh-sharded wideband channelizer pipeline (the Ulysses-style reshard).
+
+Two phases with different natural shardings (SURVEY.md §5):
+
+  1. channelize — the wideband input is *time*-sharded across all devices;
+     each shard runs the PFB locally with its filter history brought in by
+     a multi-hop halo exchange (`left_context`), exactly as the serial
+     carry would provide.
+  2. demodulate — receivers are *channel*-parallel; an `all_to_all`
+     re-shards [n_chan, frames] from time-split to channel-split, after
+     which each device runs full-length chains for its channel subset with
+     zero further communication.
+
+The all_to_all moves each device's [n_chan, frames_local] once — the DSP
+analog of the attention-head transpose in DeepSpeed-Ulysses — and rides
+ICI. Output audio is channel-sharded, ready for channel-parallel sinks.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from supersdr_tpu.ops import channelizer, scans
+from supersdr_tpu.runtime import chain as chain_mod
+from supersdr_tpu.runtime import wideband as wb
+
+AXIS = "dev"
+
+
+def make_mesh(devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def build(cfg: wb.WidebandConfig, mesh: Mesh):
+    """Compile the sharded wideband pipeline.
+
+    Constraints: n_devices divides n_chan and chunk_in; the per-device
+    input slice must be a multiple of n_chan.
+    Returns process(params, state, iq[chunk_in]) -> (state, audio, rssi)
+    with audio [n_chan, chunk_per_chan·L] channel-sharded.
+    """
+    d = mesh.devices.size
+    if cfg.n_chan % d or cfg.chunk_in % (d * cfg.n_chan):
+        raise ValueError("n_devices must divide n_chan and chunk_in/n_chan")
+    plan = wb.pfb_plan(cfg)
+    ccfg = cfg.chain_cfg
+
+    def body(params: wb.WidebandParams, state: wb.WidebandState,
+             iq: jax.Array):
+        # ---- phase 1: time-sharded PFB with halo history
+        idx = jax.lax.axis_index(AXIS)
+        halo = scans.left_context(iq, plan.history, AXIS)
+        head = jnp.where(idx == 0, state.pfb_carry, halo)
+        _, chans = channelizer.channelize(plan, params.W_pfb, head, iq)
+        # chans: [n_chan, frames_local]
+        pfb_carry = iq[..., -plan.history:]
+
+        # ---- reshard: time-split -> channel-split (all_to_all over ICI)
+        # [n_chan, f_local] -> [n_chan/d, f_local*d]
+        chans = jax.lax.all_to_all(chans, AXIS, split_axis=0, concat_axis=1,
+                                   tiled=True)
+
+        # ---- phase 2: channel-parallel chains, full time on-device
+        cstate, out = chain_mod.process(ccfg, params.chain, state.chain,
+                                        chans)
+        # pfb carry lives on the last time shard; broadcast it so the next
+        # call's shard 0 check uses the right value
+        last = jax.lax.all_gather(pfb_carry, AXIS)[d - 1]
+        return (wb.WidebandState(pfb_carry=last, chain=cstate),
+                out.audio, out.rssi)
+
+    chain_param_spec = jax.tree.map(lambda _: P(), chain_mod.make_params(ccfg))
+    chain_param_spec = chain_param_spec._replace(
+        nco=chain_param_spec.nco._replace(ramp=P(AXIS, None),
+                                          block_inc=P(AXIS)))
+    params_spec = wb.WidebandParams(W_pfb=P(), chain=chain_param_spec)
+    chain_state_spec = jax.tree.map(lambda _: P(AXIS), chain_mod.init_state(
+        ccfg, (d,)))
+    chain_state_spec = chain_state_spec._replace(
+        os_carry=P(AXIS, None), interp_carry=P(AXIS, None))
+    state_spec = wb.WidebandState(pfb_carry=P(), chain=chain_state_spec)
+    out_spec = (wb.WidebandState(pfb_carry=P(), chain=chain_state_spec),
+                P(AXIS, None), P(AXIS, None))
+
+    sharded = jax.shard_map(body, mesh=mesh,
+                            in_specs=(params_spec, state_spec, P(AXIS)),
+                            out_specs=out_spec, check_vma=False)
+    return jax.jit(sharded)
+
+
+def make_params(cfg: wb.WidebandConfig, **kw) -> wb.WidebandParams:
+    return wb.make_params(cfg, **kw)
+
+
+def init_state(cfg: wb.WidebandConfig) -> wb.WidebandState:
+    return wb.init_state(cfg)

@@ -1,0 +1,106 @@
+"""Wideband receiver: one capture → polyphase channelizer → N demod chains.
+
+BASELINE.md's channelizer config: a full MW-band capture (e.g. 1.2 MHz of
+IQ) split into 100 AM channels of 12 kHz each, all demodulated at once.
+With n_chan chosen so fs_in / n_chan equals the chain's IQ rate, the PFB
+output feeds the standard receiver chain batched over its channel axis —
+two fused device programs end-to-end, versus the reference's
+two-sockets-per-receiver ceiling (supersdr.py:624-639).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from supersdr_tpu.ops import channelizer
+from supersdr_tpu.runtime import chain
+
+
+@dataclass(frozen=True)
+class WidebandConfig:
+    """fs_in must equal n_chan * chain.iq_rate (critical sampling)."""
+    fs_in: int = 1_200_000
+    n_chan: int = 100
+    taps_per: int = 8
+    mode: str = "AM"
+    chunk_in: int = 1_200_000 // 4      # input samples per call
+    audio_rate: int = 48000
+    n_taps: int = 257
+
+    def __post_init__(self):
+        if self.fs_in % self.n_chan:
+            raise ValueError("n_chan must divide fs_in")
+        if self.chunk_in % self.n_chan:
+            raise ValueError("chunk_in must be a multiple of n_chan")
+
+    @property
+    def iq_rate(self) -> int:
+        return self.fs_in // self.n_chan
+
+    @property
+    def chunk_per_chan(self) -> int:
+        return self.chunk_in // self.n_chan
+
+    @property
+    def chain_cfg(self) -> chain.ChainConfig:
+        return chain.ChainConfig(mode=self.mode, iq_rate=self.iq_rate,
+                                 audio_rate=self.audio_rate,
+                                 chunk=self.chunk_per_chan,
+                                 os_block=self.chunk_per_chan,
+                                 n_taps=self.n_taps)
+
+
+class WidebandParams(NamedTuple):
+    W_pfb: jax.Array
+    chain: chain.ChainParams
+
+
+class WidebandState(NamedTuple):
+    pfb_carry: jax.Array
+    chain: chain.ChainState
+
+
+def make_params(cfg: WidebandConfig, **chain_kwargs) -> WidebandParams:
+    plan, proto = channelizer.design(cfg.n_chan, cfg.taps_per)
+    W = channelizer.taps_matrix(plan, proto)
+    cp = chain.make_params(cfg.chain_cfg,
+                           freq_offset_hz=np.zeros(cfg.n_chan),
+                           **chain_kwargs)
+    return WidebandParams(W_pfb=W, chain=cp)
+
+
+def init_state(cfg: WidebandConfig) -> WidebandState:
+    plan, _ = channelizer.design(cfg.n_chan, cfg.taps_per)
+    return WidebandState(pfb_carry=channelizer.init_carry(plan),
+                         chain=chain.init_state(cfg.chain_cfg, (cfg.n_chan,)))
+
+
+def pfb_plan(cfg: WidebandConfig) -> channelizer.PFBPlan:
+    plan, _ = channelizer.design(cfg.n_chan, cfg.taps_per)
+    return plan
+
+
+@partial(jax.jit, static_argnums=0)
+def process(cfg: WidebandConfig, params: WidebandParams,
+            state: WidebandState, iq: jax.Array
+            ) -> tuple[WidebandState, chain.ChainOutput]:
+    """iq: [chunk_in] wideband complex64 → audio [n_chan, chunk_per_chan*4].
+    """
+    plan = pfb_plan(cfg)
+    pfb_carry, chans = channelizer.channelize(plan, params.W_pfb,
+                                              state.pfb_carry, iq)
+    cstate, out = chain.process(cfg.chain_cfg, params.chain, state.chain,
+                                chans)
+    return WidebandState(pfb_carry=pfb_carry, chain=cstate), out
+
+
+def channel_freqs(cfg: WidebandConfig, center_hz: float = 0.0) -> np.ndarray:
+    """Absolute center frequency of each channel given the capture center."""
+    plan = pfb_plan(cfg)
+    return center_hz + channelizer.channel_center_freqs(plan, cfg.fs_in)

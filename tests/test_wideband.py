@@ -1,0 +1,82 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from supersdr_tpu.runtime import chain, wideband
+from supersdr_tpu.parallel import sharded_wideband
+
+AGC_OFF = dict(on=False, man_gain_db=50.0)
+
+
+def tone_snr_db(x, freq, fs):
+    n = len(x)
+    t = np.arange(n) / fs
+    basis = np.stack([np.cos(2 * np.pi * freq * t),
+                      np.sin(2 * np.pi * freq * t),
+                      np.ones(n)], axis=1)
+    coef, *_ = np.linalg.lstsq(basis, x, rcond=None)
+    fit = basis @ coef
+    sig = np.mean((fit - fit.mean()) ** 2)
+    return 10 * np.log10(sig / max(np.mean((x - fit) ** 2), 1e-30))
+
+
+def mw_band(cfg, stations, n, seed=0):
+    """Synthesize AM stations at given (channel_index, audio_freq)."""
+    rng = np.random.default_rng(seed)
+    freqs = wideband.channel_freqs(cfg)
+    t = np.arange(n) / cfg.fs_in
+    x = 0.002 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+    for ch, af in stations:
+        m = 0.6 * np.cos(2 * np.pi * af * t)
+        x = x + 0.4 * (1 + m) * np.exp(2j * np.pi * freqs[ch] * t)
+    return x.astype(np.complex64)
+
+
+def test_wideband_demodulates_many_stations():
+    cfg = wideband.WidebandConfig(fs_in=96_000, n_chan=8, chunk_in=32768,
+                                  mode="AM", taps_per=8)
+    assert cfg.iq_rate == 12000
+    stations = [(1, 400.0), (3, 700.0), (6, 1100.0)]
+    n = cfg.chunk_in * 2
+    iq = mw_band(cfg, stations, n)
+    params = wideband.make_params(cfg, agc_kwargs=AGC_OFF)
+    state = wideband.init_state(cfg)
+    audio_parts = []
+    for i in range(0, n, cfg.chunk_in):
+        state, out = wideband.process(cfg, params, state,
+                                      jnp.asarray(iq[i:i + cfg.chunk_in]))
+        audio_parts.append(np.asarray(out.audio))
+    audio = np.concatenate(audio_parts, axis=-1)
+    assert audio.shape == (8, n // 8 * 4)
+    skip = audio.shape[1] // 2
+    for ch, af in stations:
+        snr = tone_snr_db(audio[ch, skip:], af, 48000)
+        assert snr > 30, f"channel {ch}: {snr:.1f} dB"
+    # empty channel is quiet
+    assert np.abs(audio[5, skip:]).max() < 0.1
+
+
+def test_sharded_wideband_equals_serial():
+    n_dev = 8
+    cfg = wideband.WidebandConfig(fs_in=96_000, n_chan=8,
+                                  chunk_in=8 * 8 * 512, mode="AM",
+                                  taps_per=8)
+    stations = [(2, 500.0), (7, 900.0)]
+    iq = mw_band(cfg, stations, cfg.chunk_in * 2, seed=1)
+
+    params = wideband.make_params(cfg, agc_kwargs=AGC_OFF)
+    state = wideband.init_state(cfg)
+    mesh = sharded_wideband.make_mesh()
+    proc = sharded_wideband.build(cfg, mesh)
+    sstate = wideband.init_state(cfg)
+
+    for i in range(0, len(iq), cfg.chunk_in):
+        blk = jnp.asarray(iq[i:i + cfg.chunk_in])
+        state, out_ref = wideband.process(cfg, params, state, blk)
+        sstate, audio_sh, rssi_sh = proc(params, sstate, blk)
+        np.testing.assert_allclose(np.asarray(audio_sh),
+                                   np.asarray(out_ref.audio),
+                                   rtol=2e-3, atol=3e-4)
+        np.testing.assert_allclose(np.asarray(rssi_sh),
+                                   np.asarray(out_ref.rssi), atol=0.01)
