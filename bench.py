@@ -1,0 +1,63 @@
+"""Benchmark: wideband IQ→audio throughput on one TPU chip.
+
+Runs the flagship pipeline — polyphase channelizer splitting a wideband
+capture into 100 channels, each through the full receiver chain (NCO →
+overlap-save passband → AM demod → AGC → 4× polyphase resample) — and
+reports aggregate input Msamples/s on the chip.
+
+Baseline: the reference client processes one 12 kHz receiver in real time
+(0.012 Msamples/s per receiver, two receivers max — SURVEY.md §6); the
+repo's north-star target is 1 Gsample/s aggregate over ≥2 hosts, i.e.
+500 Msamples/s per host. `vs_baseline` is measured Msps / 500.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from supersdr_tpu.runtime import wideband
+
+    # 1 second of a 4.8 MHz-wide capture per step, 100 channels of 48 kHz IQ
+    cfg = wideband.WidebandConfig(fs_in=4_800_000, n_chan=100,
+                                  chunk_in=4_800_000, mode="AM",
+                                  taps_per=8, n_taps=257,
+                                  audio_rate=192_000)
+    params = wideband.make_params(cfg)
+    state = wideband.init_state(cfg)
+    rng = np.random.default_rng(0)
+    iq = jnp.asarray((rng.normal(size=cfg.chunk_in)
+                      + 1j * rng.normal(size=cfg.chunk_in)) * 0.05,
+                     jnp.complex64)
+
+    # warmup / compile
+    st, out = wideband.process(cfg, params, state, iq)
+    out.audio.block_until_ready()
+    st, out = wideband.process(cfg, params, st, iq)
+    out.audio.block_until_ready()
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, out = wideband.process(cfg, params, st, iq)
+    out.audio.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    msps = cfg.chunk_in * iters / dt / 1e6
+    print(json.dumps({
+        "metric": "wideband_iq_to_audio_throughput",
+        "value": round(msps, 2),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / 500.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

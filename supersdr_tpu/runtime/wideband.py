@@ -86,11 +86,16 @@ def pfb_plan(cfg: WidebandConfig) -> channelizer.PFBPlan:
     return plan
 
 
-@partial(jax.jit, static_argnums=0)
 def process(cfg: WidebandConfig, params: WidebandParams,
             state: WidebandState, iq: jax.Array
             ) -> tuple[WidebandState, chain.ChainOutput]:
     """iq: [chunk_in] wideband complex64 → audio [n_chan, chunk_per_chan*4].
+
+    Dispatched as two jitted stages (PFB, then chains) rather than one
+    fused program: XLA's fusion pass degenerates on the combined
+    gather+FFT+scan graph (hour-scale compiles on TPU), while the split
+    compiles in seconds and the extra dispatch is sub-microsecond against
+    millisecond-scale steps.
     """
     plan = pfb_plan(cfg)
     pfb_carry, chans = channelizer.channelize(plan, params.W_pfb,
