@@ -1,0 +1,156 @@
+"""Live KiwiSDR session: IQ from the server, demodulation on the TPU.
+
+Where the reference asks the KiwiSDR to demodulate (`SET mod=usb …`) and
+plays the returned 12 kHz audio, this session requests the **IQ stream**
+and runs the native receiver chain — the server becomes a dumb digitizer
+and every control (mode, passband, AGC) acts on our own DSP, with the same
+knob semantics. The session wires together:
+
+  KiwiClient (SND/iq) → drift compensation → Receiver.process (device) →
+  latency governor → FrameBuffer → WAV / sound-device sink,
+  with optional rigctld emulation (fldigi/wsjtx can tune us) and CAT sync
+  to a physical radio via a hamlib rigctld (LinkController).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import numpy as np
+
+from supersdr_tpu.control.bandplan import get_auto_mode
+from supersdr_tpu.control.links import LinkController
+from supersdr_tpu.control.panadapter import Panadapter
+from supersdr_tpu.control.receiver import Flags, Receiver
+from supersdr_tpu.io import audio_sink, kiwi_protocol as kp
+from supersdr_tpu.io.kiwi_client import (KiwiClient, KiwiError,
+                                         KiwiServerTerminatedConnection,
+                                         KiwiTooBusyError)
+from supersdr_tpu.io.rigctl import CatClient, RigctldServer
+from supersdr_tpu.io.status import KiwiGateError, KiwiStatus
+from supersdr_tpu.runtime import chain
+from supersdr_tpu.runtime.engine import (EngineConfig, SourceBusy,
+                                         SourceClosed, StreamEngine)
+from supersdr_tpu.runtime.governor import DriftCompensator, LatencyGovernor
+
+
+def run_kiwi_session(args) -> int:
+    # -------- pre-connect health gate (utils:648-657 semantics)
+    try:
+        status = KiwiStatus.fetch(args.kiwiserver, args.kiwiport)
+        status.gate()
+        freq_offset_khz = status.freq_offset_hz / 1000.0
+    except KiwiGateError as e:
+        print(f"refusing to connect: {e}")
+        return 1
+    except OSError:
+        freq_offset_khz = 0.0  # old firmware without /status
+
+    mode = (args.mode or get_auto_mode(args.freq)).upper()
+    chunk = 2048
+
+    # -------- connect and negotiate
+    client = KiwiClient(args.kiwiserver, args.kiwiport, args.password)
+    client.connect()
+    client.setup_sound("IQ", -5000, 5000, args.freq)
+    first = client.wait_for_stream()
+    kiwi_rate = client.info.audio_rate or 12000
+    true_rate = client.info.audio_rate_true or float(kiwi_rate)
+    print(f"connected: {args.kiwiserver}:{args.kiwiport} "
+          f"rate={kiwi_rate} (true {true_rate:.2f})")
+
+    cfg = chain.ChainConfig(mode=mode, iq_rate=kiwi_rate,
+                            audio_rate=4 * kiwi_rate, chunk=chunk,
+                            os_block=chunk)
+    rx = Receiver(cfg=cfg, center_freq_khz=args.freq, freq=args.freq,
+                  radio_mode=mode)
+    pan = Panadapter(zoom=args.zoom, freq_khz=args.freq)
+    links = LinkController(wf=pan, rx=rx, flags=Flags())
+    if args.radioserver:
+        cat = CatClient(args.radioserver, args.radioport)
+        links.cat = cat if cat.cat_ok else None
+
+    rigctld = None
+    if args.rigctld_port is not None:
+        rigctld = RigctldServer(rx, port=args.rigctld_port)
+        threading.Thread(target=rigctld.serve_forever, daemon=True).start()
+        print(f"rigctld emulator on port {rigctld.port}")
+
+    # -------- source: SND frames → fixed chunks
+    frames_seen = [0]
+
+    def source_factory():
+        def gen():
+            buf = np.zeros(0, np.complex64)
+            # include the frame already received during negotiation
+            pending = [first]
+            while True:
+                if args.frames and frames_seen[0] >= args.frames:
+                    return
+                frame = pending.pop() if pending else None
+                if frame is None:
+                    try:
+                        msg = client.read()
+                    except KiwiTooBusyError:
+                        raise SourceBusy() from None
+                    except (KiwiServerTerminatedConnection, KiwiError):
+                        raise SourceClosed() from None
+                    if not isinstance(msg, kp.SndFrame):
+                        continue
+                    frame = msg
+                kind, gps, z = client.snd_samples(frame)
+                if kind != "iq":
+                    continue
+                frames_seen[0] += 1
+                try:
+                    client.keepalive()
+                except OSError:
+                    pass  # keep draining buffered frames past a server close
+                buf = np.concatenate([buf, z.astype(np.complex64) / 32768.0])
+                while len(buf) >= chunk:
+                    yield buf[:chunk]
+                    buf = buf[chunk:]
+        return gen()
+
+    governor = LatencyGovernor(buffer_frames=args.buffer,
+                               ms_per_frame=chunk / true_rate * 1000.0)
+    drift = DriftCompensator(nominal_rate=kiwi_rate, true_rate=true_rate,
+                             frame=chunk)
+    engine = StreamEngine(source_factory, process=rx.process,
+                          config=EngineConfig(buffer_frames=args.buffer,
+                                              connect_retries=1),
+                          governor=governor, drift=drift)
+
+    # -------- sink
+    if args.output:
+        sink = audio_sink.WavFileSink(args.output, audio_rate=cfg.audio_rate)
+    else:
+        sd = audio_sink.SoundDeviceSink(audio_rate=cfg.audio_rate,
+                                        blocksize=chunk * 4)
+        sink = sd if not sd.unavailable else audio_sink.WavFileSink(
+            "kiwi_audio.wav", audio_rate=cfg.audio_rate)
+
+    engine.start()
+    sink.start(lambda: engine.pop_audio(timeout=1.0))
+    try:
+        while engine.status not in ("stopped",):
+            links.poll_cat()
+            time.sleep(0.5)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        engine.stop()
+        # let the sink drain buffered audio before closing it
+        deadline = time.monotonic() + 10.0
+        while engine.buffer.qsize() > 0 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        out = sink.stop()
+        if out:
+            print(f"audio written to {out}")
+        client.close()
+        if rigctld:
+            rigctld.close()
+    print(f"session done: {frames_seen[0]} frames, "
+          f"{engine.dropped_frames} dropped, RSSI {rx.smoothed_rssi:.1f} dB")
+    return 0

@@ -143,7 +143,12 @@ class FakeKiwiServer:
         cfg = self.config
         ws.send(kp.build_msg(audio_init="0", audio_rate=str(cfg.audio_rate),
                              sample_rate=f"{cfg.audio_rate_true:.3f}"))
-        self._drain_sets(ws)
+        # wait for the client's control burst (SET mod=...) before choosing
+        # the payload format — real kiwis likewise only stream after setup
+        import time as _time
+        deadline = _time.monotonic() + 2.0
+        while "mod" not in self.state and _time.monotonic() < deadline:
+            self._drain_sets(ws)
         mode = self.state.get("mod", "am")
         comp = self.state.get("compression", "0") == "1"
         enc_state = adpcm.AdpcmState()
@@ -169,6 +174,10 @@ class FakeKiwiServer:
                     frame = kp.build_snd_audio(seq, -60.0, src_block)
             ws.send(frame)
             self._drain_sets(ws)
+        # grace period so a slower client can drain buffered frames before
+        # the close lands (a hard close + client writes would RST the queue)
+        import time as _time
+        _time.sleep(0.3)
         ws.close()
 
     def _serve_wf(self, ws: websocket.WebSocket) -> None:

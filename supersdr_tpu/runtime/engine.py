@@ -1,0 +1,151 @@
+"""Stream engine: source → device chain → sink, with reconnect/backoff.
+
+The host-side conductor replacing the reference's per-receiver RX thread
+(`kiwi_sound.run`, utils_supersdr.py:1150-1186) and the headless
+`KiwiWorker` reconnect loop (/root/reference/kiwi/worker.py:10-79):
+
+  * pulls IQ blocks from a source iterator/callable
+  * batches them into device-sized chunks and runs the jitted chain
+  * pushes audio frames through the latency governor into a FrameBuffer
+  * on source failure, reconnects with per-cause backoff
+    (5 s server-close / 15 s busy, kiwi/worker.py:48-69) and a retry budget
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterator
+
+import numpy as np
+
+from supersdr_tpu.runtime.governor import DriftCompensator, LatencyGovernor
+from supersdr_tpu.runtime.ring import FrameBuffer
+
+
+class SourceBusy(Exception):
+    """Source refused: try again later (maps KiwiTooBusyError)."""
+
+
+class SourceClosed(Exception):
+    """Source terminated: reconnect (maps KiwiServerTerminatedConnection)."""
+
+
+@dataclass
+class EngineConfig:
+    buffer_frames: int = 10          # FULL_BUFF_LEN default (supersdr.py:30)
+    connect_retries: int = 0         # 0 = unlimited (worker semantics)
+    backoff_closed_s: float = 5.0
+    backoff_busy_s: float = 15.0
+    time_limit_s: float | None = None
+
+
+class StreamEngine:
+    """Runs `process(block) -> audio_frames` over a reconnecting source.
+
+    source_factory: () -> iterator of IQ blocks (raises SourceBusy/
+    SourceClosed/StopIteration); process: one device step; sink: receives
+    ('audio', frame) items popped by the audio callback.
+    """
+
+    def __init__(self, source_factory: Callable[[], Iterator[np.ndarray]],
+                 process: Callable[[np.ndarray], np.ndarray],
+                 config: EngineConfig | None = None,
+                 governor: LatencyGovernor | None = None,
+                 drift: DriftCompensator | None = None,
+                 clock: Callable[[], float] = None):
+        self.cfg = config or EngineConfig()
+        self.source_factory = source_factory
+        self.process = process
+        self.buffer = FrameBuffer(self.cfg.buffer_frames)
+        self.governor = governor
+        self.drift = drift
+        self.clock = clock or (lambda: time.monotonic() * 1000.0)
+        self.terminate = False
+        self.status = "idle"
+        self.dropped_frames = 0
+        self.reconnects = 0
+        self._thread: threading.Thread | None = None
+        self._wake = threading.Event()
+
+    # ------------------------------------------------------------ control
+
+    def start(self) -> "StreamEngine":
+        self._thread = threading.Thread(target=self.run, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self, join: bool = True) -> None:
+        self.terminate = True
+        self._wake.set()
+        if join and self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def _sleep(self, seconds: float) -> None:
+        self._wake.wait(timeout=seconds)
+
+    # ---------------------------------------------------------------- run
+
+    def run(self) -> None:
+        retries = self.cfg.connect_retries
+        start_time = time.monotonic()
+        while not self.terminate:
+            try:
+                source = self.source_factory()
+            except SourceBusy:
+                self.status = "busy"
+                self.reconnects += 1
+                self._sleep(self.cfg.backoff_busy_s)
+                continue
+            except (SourceClosed, OSError):
+                self.status = "connect-failed"
+                retries -= 1
+                if self.cfg.connect_retries > 0 and retries <= 0:
+                    break
+                self._sleep(self.cfg.backoff_closed_s)
+                continue
+            self.status = "streaming"
+            try:
+                self._pump(source)
+                break  # source exhausted cleanly
+            except SourceBusy:
+                self.status = "busy"
+                self.reconnects += 1
+                self._sleep(self.cfg.backoff_busy_s)
+            except (SourceClosed, OSError):
+                self.status = "reconnecting"
+                self.reconnects += 1
+                self._sleep(self.cfg.backoff_closed_s)
+            if self.cfg.time_limit_s is not None and \
+                    time.monotonic() - start_time > self.cfg.time_limit_s:
+                break
+        self.status = "stopped"
+
+    def _pump(self, source: Iterator[np.ndarray]) -> None:
+        for block in source:
+            if self.terminate:
+                return
+            if self.drift is not None and self.drift.tick():
+                # consume one extra block to absorb clock drift
+                try:
+                    next(source)
+                except StopIteration:
+                    pass
+            audio = self.process(block)
+            action = "buffer"
+            if self.governor is not None:
+                action = self.governor.on_frame(self.clock())
+            if action == "drop":
+                self.dropped_frames += 1
+                continue
+            self.buffer.put(np.asarray(audio), block=True, timeout=5.0)
+
+    # ------------------------------------------------------------ sink API
+
+    def pop_audio(self, timeout: float | None = 1.0) -> np.ndarray | None:
+        """Called from the audio callback; None → play silence
+        (late/underrun, utils:1106-1115)."""
+        if self.governor is not None and self.governor.late:
+            return None
+        return self.buffer.get(timeout=timeout)
