@@ -31,6 +31,23 @@ class HandshakeError(ConnectionError):
     pass
 
 
+def _apply_mask(payload: bytes, mask: bytes) -> bytes:
+    """XOR-mask per RFC 6455 §5.3 — native word-wise kernel when built,
+    numpy otherwise."""
+    try:
+        from supersdr_tpu import native
+        if native.available():
+            buf = bytearray(payload)
+            native.xor_mask(buf, mask)
+            return bytes(buf)
+    except Exception:
+        pass
+    import numpy as np
+    a = np.frombuffer(payload, np.uint8)
+    m = np.frombuffer((mask * ((len(a) + 3) // 4))[: len(a)], np.uint8)
+    return (a ^ m).tobytes()
+
+
 def _recv_exact(sock: socket.socket, n: int) -> bytes:
     buf = b""
     while len(buf) < n:
@@ -77,7 +94,7 @@ class WebSocket:
                                  (0x80 if self.mask_send else 0) | 127, n)
         if self.mask_send:
             mask = os.urandom(4)
-            masked = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            masked = _apply_mask(payload, mask)
             self.sock.sendall(header + mask + masked)
         else:
             self.sock.sendall(header + payload)
@@ -103,7 +120,7 @@ class WebSocket:
         mask = _recv_exact(self.sock, 4) if masked else None
         payload = _recv_exact(self.sock, length) if length else b""
         if mask:
-            payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+            payload = _apply_mask(payload, mask)
         return opcode, fin, payload
 
     def receive(self) -> bytes | None:

@@ -60,8 +60,13 @@ def _decode_nibble(state: AdpcmState, code: int) -> int:
 def decode_np(data: bytes | np.ndarray, state: AdpcmState | None = None
               ) -> np.ndarray:
     """Decode packed 4-bit codes → int16 samples (2 per byte, low nibble
-    first). Stateful across calls when `state` is supplied."""
+    first). Stateful across calls when `state` is supplied. Uses the
+    native sdrkit codec when built (same algorithm in C++)."""
     state = state or AdpcmState()
+    from supersdr_tpu import native
+    fast = native.adpcm_decode(data, state)
+    if fast is not None:
+        return fast
     b = np.frombuffer(bytes(data), dtype=np.uint8)
     out = np.empty(2 * len(b), dtype=np.int16)
     for i, byte in enumerate(b):
@@ -74,6 +79,10 @@ def encode_np(samples: np.ndarray, state: AdpcmState | None = None) -> bytes:
     """Encode int16 samples → packed 4-bit codes (for the fake-Kiwi test
     server and recorders)."""
     state = state or AdpcmState()
+    from supersdr_tpu import native
+    fast = native.adpcm_encode(np.asarray(samples, np.int16), state)
+    if fast is not None:
+        return fast
     samples = np.asarray(samples, dtype=np.int64)
     if len(samples) % 2:
         samples = np.append(samples, samples[-1])
