@@ -98,6 +98,11 @@ class Receiver:
     audio_balance: float = 0.0         # -1 (left) .. +1 (right)
     muted: bool = False
     agc: AGCSettings = field(default_factory=AGCSettings)
+    # native equivalents of `SET squelch=.. max=..` / `SET nb=.. th=..`
+    squelch_on: bool = False
+    squelch_thresh_db: float = -100.0
+    nb_on: bool = False
+    nb_thresh: float = 6.0
 
     def __post_init__(self):
         self.lc, self.hc = self.change_passband(self.delta_low,
@@ -182,7 +187,11 @@ class Receiver:
         self.params = chain.make_params(
             self.cfg, freq_offset_hz=self.freq_offset_hz,
             low_cut=self.lc, high_cut=self.hc,
-            agc_kwargs=self.agc.kwargs())
+            agc_kwargs=self.agc.kwargs(),
+            squelch_kwargs=dict(enabled=self.squelch_on,
+                                thresh_db=self.squelch_thresh_db),
+            blanker_kwargs=dict(enabled=self.nb_on,
+                                thresh_ratio=self.nb_thresh))
         if self.state is None:
             self.state = chain.init_state(self.cfg)
 

@@ -33,6 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from supersdr_tpu.ops import agc as agc_ops
 from supersdr_tpu.ops import demod as demod_ops
 from supersdr_tpu.ops import mixer, overlap_save, resample, scans, smeter
+from supersdr_tpu.ops import squelch as squelch_ops
 from supersdr_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
 from supersdr_tpu.runtime import chain as chain_mod
 from supersdr_tpu.runtime.chain import (ChainConfig, ChainOutput, ChainParams,
@@ -48,10 +49,14 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
     batch = iq.shape[:-1]
     n_rows = cfg.chunk // cfg.os_block
 
+    # 0. noise blanker (shard-local median when enabled; exact passthrough
+    #    when disabled — the default)
+    iq = squelch_ops.apply_blanker(params.blanker, iq.astype(jnp.complex64))
+
     # 1. NCO with per-time-shard phase base: shard t starts at t*N_local
     phase0 = jnp.mod(state.phase + t_idx.astype(jnp.float32)
                      * params.nco.block_inc, 1.0)
-    _, x = mixer.mix(params.nco, phase0, iq.astype(jnp.complex64))
+    _, x = mixer.mix(params.nco, phase0, iq)
     phase_out = jnp.mod(state.phase
                         + (t_idx.astype(jnp.float32) + 1.0)
                         * params.nco.block_inc, 1.0)
@@ -74,6 +79,12 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
                                   hang_window=cfg.hang_window,
                                   axis_name=TIME_AXIS)
 
+    # squelch gates on the local shard's RSSI (frame-granular, as the
+    # KiwiSDR gates per frame — not bit-identical to the serial
+    # whole-chunk gate when enabled; identical when disabled)
+    sq_state, audio = squelch_ops.apply_squelch(
+        params.squelch, state.squelch, audio, jnp.mean(rssi, axis=-1))
+
     # 5. resample; history halo in the audio domain
     if cfg.mode.upper() == "IQ":
         out_audio = audio
@@ -86,7 +97,8 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
         icarry, out_audio = resample.interpolate(iplan, params.P_interp,
                                                  ihead, audio)
     new_state = ChainState(phase=phase_out, os_carry=os_carry, demod=dstate,
-                           agc=astate, interp_carry=icarry)
+                           agc=astate, interp_carry=icarry,
+                           squelch=sq_state)
     # stack a leading per-time-shard axis so the caller can take shard D-1
     stacked = jax.tree.map(lambda s: s[None], new_state)
     return stacked, ChainOutput(audio=out_audio, rssi=rssi, baseband=y)
@@ -106,6 +118,8 @@ def build(cfg: ChainConfig, mesh: Mesh):
         nco=mixer.NCOParams(ramp=P(CHAN_AXIS, None), block_inc=P(CHAN_AXIS)),
         H_pass=P(), P_interp=P(),
         agc=jax.tree.map(lambda _: P(), agc_ops.make_params(cfg.iq_rate)),
+        squelch=jax.tree.map(lambda _: P(), squelch_ops.make_squelch()),
+        blanker=jax.tree.map(lambda _: P(), squelch_ops.make_blanker()),
     )
     state_spec = ChainState(
         phase=P(CHAN_AXIS),
@@ -114,6 +128,8 @@ def build(cfg: ChainConfig, mesh: Mesh):
                                    dc_x=P(CHAN_AXIS), dc_y=P(CHAN_AXIS)),
         agc=agc_ops.AGCState(peak_db=P(CHAN_AXIS), gain_db=P(CHAN_AXIS)),
         interp_carry=P(CHAN_AXIS, None),
+        squelch=squelch_ops.SquelchState(open_=P(CHAN_AXIS),
+                                         gain=P(CHAN_AXIS)),
     )
     out_state_spec = jax.tree.map(
         lambda p: P(TIME_AXIS, *p), state_spec)

@@ -42,6 +42,7 @@ from supersdr_tpu.ops import agc as agc_ops
 from supersdr_tpu.ops import demod as demod_ops
 from supersdr_tpu.ops import firdesign, mixer, overlap_save, passband, resample
 from supersdr_tpu.ops import smeter
+from supersdr_tpu.ops import squelch as squelch_ops
 
 
 @dataclass(frozen=True)
@@ -88,6 +89,8 @@ class ChainParams(NamedTuple):
     H_pass: jax.Array          # [fft_size] complex64 passband response
     P_interp: jax.Array        # [per, L] polyphase interpolation matrix
     agc: agc_ops.AGCParams
+    squelch: squelch_ops.SquelchParams
+    blanker: squelch_ops.BlankerParams
 
 
 class ChainState(NamedTuple):
@@ -96,6 +99,7 @@ class ChainState(NamedTuple):
     demod: demod_ops.DemodState
     agc: agc_ops.AGCState
     interp_carry: jax.Array
+    squelch: squelch_ops.SquelchState
 
 
 class ChainOutput(NamedTuple):
@@ -109,7 +113,9 @@ def make_params(cfg: ChainConfig,
                 delta_low: float = 0.0, delta_high: float = 0.0,
                 low_cut: float | None = None,
                 high_cut: float | None = None,
-                agc_kwargs: dict | None = None) -> ChainParams:
+                agc_kwargs: dict | None = None,
+                squelch_kwargs: dict | None = None,
+                blanker_kwargs: dict | None = None) -> ChainParams:
     """Host-side parameter build (float64 design, device float32 results).
 
     `freq_offset_hz` is the receiver offset within the incoming IQ span
@@ -130,7 +136,9 @@ def make_params(cfg: ChainConfig,
                                cfg.iq_rate, cfg.chunk)
     agc_p = agc_ops.make_params(cfg.iq_rate, **(agc_kwargs or {}))
     return ChainParams(nco=nco, H_pass=H, P_interp=jnp.asarray(P, jnp.float32),
-                       agc=agc_p)
+                       agc=agc_p,
+                       squelch=squelch_ops.make_squelch(**(squelch_kwargs or {})),
+                       blanker=squelch_ops.make_blanker(**(blanker_kwargs or {})))
 
 
 def init_state(cfg: ChainConfig, batch_shape: tuple[int, ...] = ()
@@ -143,6 +151,7 @@ def init_state(cfg: ChainConfig, batch_shape: tuple[int, ...] = ()
         demod=demod_ops.init_state(batch_shape),
         agc=agc_ops.init_state(batch_shape),
         interp_carry=resample.init_carry(iplan, batch_shape),
+        squelch=squelch_ops.init_squelch(batch_shape),
     )
 
 
@@ -154,8 +163,11 @@ def process(cfg: ChainConfig, params: ChainParams, state: ChainState,
     batch = iq.shape[:-1]
     n_rows = cfg.chunk // cfg.os_block
 
+    # 0. impulse noise blanker on the raw IQ (SET nb equivalent)
+    iq = squelch_ops.apply_blanker(params.blanker, iq.astype(jnp.complex64))
+
     # 1. tune: complex mix by -freq_offset
-    phase, x = mixer.mix(params.nco, state.phase, iq.astype(jnp.complex64))
+    phase, x = mixer.mix(params.nco, state.phase, iq)
 
     # 2. passband selection: batched overlap-save rows
     rows = x.reshape(*batch, n_rows, cfg.os_block)
@@ -175,6 +187,10 @@ def process(cfg: ChainConfig, params: ChainParams, state: ChainState,
     astate, audio = agc_ops.apply(params.agc, state.agc, audio,
                                   hang_window=cfg.hang_window)
 
+    # 5b. squelch gate on the chunk RSSI (SET squelch equivalent)
+    sq_state, audio = squelch_ops.apply_squelch(
+        params.squelch, state.squelch, audio, jnp.mean(rssi, axis=-1))
+
     # 6. resample to the audio rate (IQ mode keeps complex baseband as-is)
     if cfg.mode.upper() == "IQ":
         out_audio = audio
@@ -186,7 +202,8 @@ def process(cfg: ChainConfig, params: ChainParams, state: ChainState,
                                                  audio.astype(jnp.float32))
 
     new_state = ChainState(phase=phase, os_carry=os_carry, demod=dstate,
-                           agc=astate, interp_carry=icarry)
+                           agc=astate, interp_carry=icarry,
+                           squelch=sq_state)
     return new_state, ChainOutput(audio=out_audio, rssi=rssi, baseband=y)
 
 
