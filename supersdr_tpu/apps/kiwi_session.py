@@ -77,6 +77,36 @@ def run_kiwi_session(args) -> int:
         threading.Thread(target=rigctld.serve_forever, daemon=True).start()
         print(f"rigctld emulator on port {rigctld.port}")
 
+    # optional second stream: live waterfall rows → PNG at session end
+    # (the reference's kiwi_waterfall.run loop, utils:879-898, headless)
+    wf_rows: list[np.ndarray] = []
+    wf_thread = None
+    wf_client = None
+    if getattr(args, "waterfall_png", None):
+        wf_client = KiwiClient(args.kiwiserver, args.kiwiport, args.password,
+                               stream_type="W/F",
+                               timestamp=client.timestamp)
+        wf_client.connect()
+        wf_client.setup_waterfall(zoom=pan.zoom, counter=pan.counter)
+
+        def _wf_loop():
+            while True:
+                try:
+                    msg = wf_client.read()
+                except KiwiError:
+                    return
+                if isinstance(msg, kp.WfFrame):
+                    wf_rows.append(wf_client.wf_bins(msg))
+                    try:
+                        wf_client.keepalive()
+                    except OSError:
+                        pass
+
+        wf_thread = threading.Thread(target=_wf_loop, daemon=True)
+        wf_thread.start()
+
+    iq_recorder: list[np.ndarray] = []
+
     # -------- source: SND frames → fixed chunks
     frames_seen = [0]
 
@@ -102,6 +132,8 @@ def run_kiwi_session(args) -> int:
                 kind, gps, z = client.snd_samples(frame)
                 if kind != "iq":
                     continue
+                if getattr(args, "record_iq", None):
+                    iq_recorder.append(z.astype(np.complex64) / 65535.0)
                 frames_seen[0] += 1
                 try:
                     client.keepalive()
@@ -149,6 +181,28 @@ def run_kiwi_session(args) -> int:
         if out:
             print(f"audio written to {out}")
         client.close()
+        if wf_client is not None:
+            wf_client.close()
+            if wf_thread is not None:
+                wf_thread.join(timeout=2)
+            if wf_rows:
+                from supersdr_tpu.display import png, render
+                from supersdr_tpu.ops import spectrum
+                import jax.numpy as jnp
+                db = spectrum.kiwi_byte_to_db(
+                    jnp.asarray(np.stack(wf_rows[::-1])), pan.zoom)
+                res = spectrum.autolevel(db)
+                img = render.render_panadapter(np.asarray(res.color),
+                                               palette_name=args.colormap)
+                png.write_png(args.waterfall_png, img)
+                print(f"waterfall written to {args.waterfall_png} "
+                      f"({len(wf_rows)} rows)")
+        if getattr(args, "record_iq", None) and iq_recorder:
+            from supersdr_tpu.io import wav as wav_io
+            wav_io.write_kiwi_iq_wav(args.record_iq,
+                                     np.concatenate(iq_recorder),
+                                     kiwi_rate, true_rate=true_rate)
+            print(f"IQ recorded to {args.record_iq}")
         if rigctld:
             rigctld.close()
     print(f"session done: {frames_seen[0]} frames, "

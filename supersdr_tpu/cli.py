@@ -81,6 +81,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stop after N SND frames (0 = run forever)")
     k.add_argument("--rigctld-port", type=int, default=None,
                    help="serve a rigctld emulator on this port")
+    k.add_argument("--waterfall-png", default=None,
+                   help="also open a W/F stream and write a waterfall PNG")
+    k.add_argument("--record-iq", default=None,
+                   help="record the raw IQ stream to a KiwiSDR-format WAV")
 
     sub.add_parser("bench", help="run the single-chip benchmark")
     return ap
