@@ -1,0 +1,216 @@
+"""Terminal panadapter: spectrum + waterfall + tuning in a terminal.
+
+The pygame GUI of the reference is replaced by a dependency-free terminal
+client with the same keyboard command table where it makes sense
+(supersdr.py help list, utils_supersdr.py:73-102):
+
+  ←/→ tune ∓/± 1 kHz   (SHIFT… use </> for ×10)    SPACE  recenter span
+  u/l/c/a  USB/LSB/CW/AM        x  auto-mode on/off
+  j/k      passband low/high    o  reset passband
+  ↑/↓      zoom in/out          g/h  averaging +/-
+  v/b      volume +/- 10%       m  mute
+  w/r      write/recall memory  q  quit
+
+Split into a pure *model* (state + text-row rendering, unit-testable) and
+a thin curses driver. The model consumes waterfall color rows (0..255) and
+RSSI from any source — offline WAV playback or a live session.
+"""
+
+from __future__ import annotations
+
+import shutil
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from supersdr_tpu.control.bandplan import get_auto_mode
+from supersdr_tpu.control.memories import MemoryBank
+from supersdr_tpu.control.panadapter import Panadapter
+from supersdr_tpu.control.receiver import Receiver
+from supersdr_tpu.ops import smeter as smeter_ops
+
+# terminal 256-color cube mapping of the cutesdr ramp: dark blue → cyan →
+# green → yellow → red, approximated with xterm palette indices
+_ANSI_RAMP = [16, 17, 18, 19, 20, 21, 27, 33, 39, 45, 51, 50, 49, 48, 47,
+              46, 82, 118, 154, 190, 226, 220, 214, 208, 202, 196]
+_BLOCKS = " ▁▂▃▄▅▆▇█"
+
+
+def color_to_ansi_index(value: float) -> int:
+    """0..255 waterfall color → xterm-256 palette index."""
+    i = int(np.clip(value, 0, 255) / 256.0 * len(_ANSI_RAMP))
+    return _ANSI_RAMP[min(i, len(_ANSI_RAMP) - 1)]
+
+
+def resample_bins(row: np.ndarray, width: int) -> np.ndarray:
+    """Max-pool waterfall bins down to the terminal width (peaks survive)."""
+    bins = len(row)
+    edges = np.linspace(0, bins, width + 1).astype(int)
+    return np.array([row[a:b].max() if b > a else row[a]
+                     for a, b in zip(edges[:-1], edges[1:])])
+
+
+def spectrum_row_text(row: np.ndarray, width: int) -> str:
+    """One-line unicode-block spectrum trace."""
+    r = resample_bins(row, width) / 255.0
+    return "".join(_BLOCKS[int(v * (len(_BLOCKS) - 1))] for v in r)
+
+
+def waterfall_row_ansi(row: np.ndarray, width: int) -> str:
+    r = resample_bins(row, width)
+    out = []
+    prev = None
+    for v in r:
+        idx = color_to_ansi_index(v)
+        if idx != prev:
+            out.append(f"\x1b[48;5;{idx}m")
+            prev = idx
+        out.append(" ")
+    out.append("\x1b[0m")
+    return "".join(out)
+
+
+def smeter_text(rssi_db: float, width: int = 24) -> str:
+    s = float(smeter_ops.s_units(np.float32(rssi_db)))
+    frac = np.clip((rssi_db + 127.0) / 114.0, 0.0, 1.0)
+    fill = int(frac * width)
+    label = f"S{min(int(s), 9)}" + (f"+{int((s - 9) * 6)}" if s > 9 else "")
+    return "[" + "=" * fill + " " * (width - fill) + f"] {label} {rssi_db:5.1f}dB"
+
+
+@dataclass
+class TuiModel:
+    """All panadapter/receiver state + text rendering, no curses."""
+    rx: Receiver
+    pan: Panadapter
+    width: int = 100
+    wf_height: int = 18
+    averaging_n: int = 1
+    auto_mode: bool = True
+    history: list = field(default_factory=list)
+    memories: MemoryBank = field(default_factory=MemoryBank)
+    message: str = ""
+
+    def push_row(self, color_row: np.ndarray) -> None:
+        self.history.insert(0, np.asarray(color_row))
+        del self.history[self.wf_height:]
+
+    # ------------------------------------------------------- key handling
+
+    def handle_key(self, key: str) -> bool:
+        """Returns False to quit."""
+        rx, pan = self.rx, self.pan
+        if key == "q":
+            return False
+        elif key in ("LEFT", "RIGHT"):
+            step = 1.0 if key == "RIGHT" else -1.0
+            rx.tune(rx.freq + step, auto_mode=self.auto_mode)
+            pan.follow(rx.freq)
+        elif key in ("<", ">"):
+            step = 10.0 if key == ">" else -10.0
+            rx.tune(rx.freq + step, auto_mode=self.auto_mode)
+            pan.follow(rx.freq)
+        elif key in ("UP", "DOWN"):
+            pan.set_freq_zoom(rx.freq, pan.zoom + (1 if key == "UP" else -1))
+        elif key in ("u", "l", "c", "a"):
+            rx.set_mode({"u": "USB", "l": "LSB", "c": "CW", "a": "AM"}[key])
+            self.message = f"mode {rx.radio_mode}"
+        elif key == "x":
+            self.auto_mode = not self.auto_mode
+            self.message = f"auto-mode {'on' if self.auto_mode else 'off'}"
+        elif key == "j":
+            rx.adjust_passband("low")
+        elif key == "k":
+            rx.adjust_passband("high")
+        elif key == "o":
+            rx.reset_passband()
+            self.message = "passband reset"
+        elif key == "g":
+            self.averaging_n = min(100, self.averaging_n + 1)
+        elif key == "h":
+            self.averaging_n = max(1, self.averaging_n - 1)
+        elif key == "v":
+            rx.volume = min(300, rx.volume + 10)
+        elif key == "b":
+            rx.volume = max(0, rx.volume - 10)
+        elif key == "m":
+            rx.muted = not rx.muted
+        elif key == "w":
+            self.memories.write_mem(rx.freq, rx.radio_mode, rx.delta_low,
+                                    rx.delta_high)
+            self.message = f"stored {rx.freq:.1f} kHz"
+        elif key == "r":
+            mem = self.memories.recall_mem()
+            if mem:
+                freq, mode, dl, dh = mem
+                rx.radio_mode = mode
+                rx.change_passband(dl, dh)
+                rx.tune(freq)
+                pan.follow(freq)
+                self.message = f"recall {freq:.1f} kHz {mode}"
+        elif key == " ":
+            pan.set_freq_zoom(rx.freq, pan.zoom)
+        return True
+
+    # ---------------------------------------------------------- rendering
+
+    def status_line(self) -> str:
+        rx = self.rx
+        return (f" {rx.freq:9.2f} kHz  {rx.radio_mode:<4} "
+                f"[{int(rx.lc):+5d},{int(rx.hc):+5d}]Hz  "
+                f"vol {rx.volume:3d}%{' MUTE' if rx.muted else ''}  "
+                f"avg {self.averaging_n:<3d} "
+                f"{smeter_text(rx.smoothed_rssi)}")
+
+    def span_line(self) -> str:
+        pan = self.pan
+        return (f" span {pan.start_f_khz:9.1f} — {pan.end_f_khz:9.1f} kHz  "
+                f"zoom {pan.zoom:2d}  ({pan.span_khz:.1f} kHz)"
+                f"   {self.message}")
+
+    def render(self) -> list[str]:
+        lines = [self.status_line(), self.span_line()]
+        if self.history:
+            lines.append(spectrum_row_text(
+                np.mean(self.history[:min(15, len(self.history))], axis=0),
+                self.width))
+            for row in self.history:
+                lines.append(waterfall_row_ansi(row, self.width))
+        return lines
+
+
+def run_tui_wav(path: str, mode: str = "AM", freq_khz: float = 14200.0):
+    """Offline TUI: play a KiwiSDR IQ WAV through the chain, render with
+    plain ANSI (no curses dependency), keys via stdin when a TTY."""
+    import sys
+    import time
+
+    import jax.numpy as jnp
+
+    from supersdr_tpu.io import wav
+    from supersdr_tpu.ops import spectrum
+    from supersdr_tpu.runtime import chain
+
+    t, z = wav.read_kiwi_iq_wav(path)
+    fs = int(round(1.0 / np.median(np.diff(t[:10000]))))
+    fs = min((12000, 20250, 24000, 48000), key=lambda r: abs(r - fs))
+    cfg = chain.ChainConfig(mode=mode, iq_rate=fs, audio_rate=4 * fs,
+                            chunk=2048, os_block=2048)
+    rx = Receiver(cfg=cfg, center_freq_khz=freq_khz, freq=freq_khz,
+                  radio_mode=mode)
+    pan = Panadapter(zoom=10, freq_khz=freq_khz)
+    width = min(shutil.get_terminal_size((100, 30)).columns - 2, 160)
+    model = TuiModel(rx=rx, pan=pan, width=width)
+    win = spectrum.spectrum_window(1024)
+    for i in range(0, len(z) - 2048, 2048):
+        rx.process(z[i:i + 2048])
+        rows = spectrum.segment_rows(jnp.asarray(z[i:i + 2048],
+                                                 jnp.complex64), 1024)
+        db = spectrum.power_spectrum_db(rows, win)
+        res = spectrum.autolevel(db)
+        for row in np.asarray(res.color):
+            model.push_row(row)
+        sys.stdout.write("\x1b[2J\x1b[H" + "\n".join(model.render()) + "\n")
+        sys.stdout.flush()
+        time.sleep(2048 / fs / 4)  # 4x realtime playback
+    return model

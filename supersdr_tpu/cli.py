@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
     k.add_argument("--record-iq", default=None,
                    help="record the raw IQ stream to a KiwiSDR-format WAV")
 
+    tu = sub.add_parser("tui", help="terminal panadapter over a recorded "
+                                    "IQ WAV (ANSI spectrum + waterfall)")
+    tu.add_argument("input")
+    tu.add_argument("--mode", default="AM")
+    tu.add_argument("-f", "--freq", type=float, default=14200.0)
+
     sub.add_parser("bench", help="run the single-chip benchmark")
     return ap
 
@@ -197,11 +203,18 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_tui(args) -> int:
+    from supersdr_tpu.apps.tui import run_tui_wav
+
+    run_tui_wav(args.input, mode=args.mode, freq_khz=args.freq)
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     return {"demod": cmd_demod, "waterfall": cmd_waterfall,
             "wideband": cmd_wideband, "kiwi": cmd_kiwi,
-            "bench": cmd_bench}[args.cmd](args)
+            "bench": cmd_bench, "tui": cmd_tui}[args.cmd](args)
 
 
 if __name__ == "__main__":

@@ -39,6 +39,30 @@ def render_spectrum(color_history: np.ndarray, height: int = 150,
     return img
 
 
+def render_smeter(rssi_db: float, width: int = 256, height: int = 24
+                  ) -> np.ndarray:
+    """S-meter bar raster: S1..S9 then +10/+20/+30 dB over, with the
+    standard S9 = -73 dBm convention (the data behind the reference's
+    analog dial, utils:1607-1667). Green to S9, red beyond."""
+    img = np.zeros((height, width, 3), np.uint8)
+    img[:] = (25, 25, 25)
+    # scale: -127 dBm (S0) .. -13 dBm (S9+60); S9 at -73
+    frac = np.clip((rssi_db + 127.0) / 114.0, 0.0, 1.0)
+    fill = int(frac * (width - 4))
+    s9_x = int((-73.0 + 127.0) / 114.0 * (width - 4))
+    for x in range(fill):
+        color = (0, 200, 0) if x <= s9_x else (220, 40, 40)
+        img[3:-3, 2 + x] = color
+    # tick marks each S-unit up to S9, then each 10 dB
+    for s in range(10):
+        x = 2 + int((s * 6.0) / 114.0 * (width - 4))
+        img[:3, x] = (200, 200, 200)
+    for over in (10, 20, 30, 40, 50, 60):
+        x = 2 + int((54.0 + over) / 114.0 * (width - 4))
+        img[:3, x] = (255, 180, 0)
+    return img
+
+
 def render_panadapter(color_history: np.ndarray, spectrum_height: int = 150,
                       palette_name: str = "cutesdr",
                       tick_bins: list[int] | None = None) -> np.ndarray:

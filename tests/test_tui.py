@@ -1,0 +1,80 @@
+import numpy as np
+
+from supersdr_tpu.apps import tui
+from supersdr_tpu.control.panadapter import Panadapter
+from supersdr_tpu.control.receiver import Receiver
+from supersdr_tpu.runtime import chain
+
+
+def make_model(tmp_path):
+    cfg = chain.ChainConfig(mode="USB", chunk=2048, os_block=2048,
+                            n_taps=129)
+    rx = Receiver(cfg=cfg, center_freq_khz=14200.0, freq=14200.0,
+                  radio_mode="USB")
+    pan = Panadapter(zoom=8, freq_khz=14200.0)
+    from supersdr_tpu.control.memories import MemoryBank
+    return tui.TuiModel(rx=rx, pan=pan, width=80,
+                        memories=MemoryBank(tmp_path / "m.json"))
+
+
+def test_key_table(tmp_path):
+    m = make_model(tmp_path)
+    assert m.handle_key("RIGHT")
+    assert m.rx.freq == 14201.0
+    m.handle_key("<")
+    assert m.rx.freq == 14191.0
+    m.handle_key("c")
+    assert m.rx.radio_mode == "CW"
+    m.handle_key("a")
+    assert m.rx.radio_mode == "AM"
+    m.handle_key("k")
+    m.handle_key("v")
+    assert m.rx.volume == 110
+    m.handle_key("m")
+    assert m.rx.muted
+    m.handle_key("UP")
+    assert m.pan.zoom == 9
+    m.handle_key("g")
+    assert m.averaging_n == 2
+    m.handle_key("w")
+    m.handle_key("r")
+    assert not m.handle_key("q")
+
+
+def test_memory_recall_restores(tmp_path):
+    m = make_model(tmp_path)
+    m.handle_key("w")                       # store 14200 USB
+    m.handle_key("RIGHT"); m.handle_key("RIGHT")
+    m.handle_key("c")
+    m.handle_key("w")                       # store 14202 CW
+    m.handle_key("r")                       # cyclic recall
+    assert (m.rx.freq, m.rx.radio_mode) in ((14200.0, "USB"),
+                                            (14202.0, "CW"))
+
+
+def test_render_rows(tmp_path, rng):
+    m = make_model(tmp_path)
+    for _ in range(5):
+        m.push_row(rng.uniform(0, 255, 1024))
+    lines = m.render()
+    assert len(lines) == 2 + 1 + 5  # status, span, spectrum, waterfall
+    assert "kHz" in lines[0] and "S" in lines[0]
+    assert "span" in lines[1]
+    assert "\x1b[48;5;" in lines[3]  # ANSI colored waterfall
+    # spectrum line uses block glyphs at terminal width
+    assert len(lines[2]) == 80
+
+
+def test_resample_bins_preserves_peaks(rng):
+    row = np.zeros(1024)
+    row[500] = 250.0
+    r = tui.resample_bins(row, 64)
+    assert r.max() == 250.0
+    assert len(r) == 64
+
+
+def test_smeter_text():
+    s9 = tui.smeter_text(-73.0)
+    assert "S9" in s9
+    weak = tui.smeter_text(-121.0)
+    assert "S1" in weak
