@@ -25,11 +25,12 @@ def main():
 
     from supersdr_tpu.runtime import wideband
 
-    # 1 second of a 4.8 MHz-wide capture per step, 100 channels of 48 kHz IQ
-    cfg = wideband.WidebandConfig(fs_in=4_800_000, n_chan=100,
-                                  chunk_in=4_800_000, mode="AM",
+    # 1 second of a 30.72 MHz capture per step → 2560 AM receivers at
+    # 12 kHz IQ each ("thousands of virtual receivers", BASELINE north star)
+    cfg = wideband.WidebandConfig(fs_in=30_720_000, n_chan=2560,
+                                  chunk_in=30_720_000, mode="AM",
                                   taps_per=8, n_taps=257,
-                                  audio_rate=192_000)
+                                  audio_rate=48_000)
     params = wideband.make_params(cfg)
     state = wideband.init_state(cfg)
     rng = np.random.default_rng(0)
@@ -43,7 +44,9 @@ def main():
     st, out = wideband.process(cfg, params, st, iq)
     out.audio.block_until_ready()
 
-    iters = 5
+    # enough iterations to amortize per-dispatch RPC latency (the axon
+    # tunnel adds jittery milliseconds per call)
+    iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         st, out = wideband.process(cfg, params, st, iq)

@@ -83,17 +83,32 @@ def hang_samples(fs: float, hang_ms: float = 500.0) -> int:
 
 
 def apply(params: AGCParams, state: AGCState, audio: jax.Array,
-          hang_window: int = 1, axis_name: str | None = None
-          ) -> tuple[AGCState, jax.Array]:
+          hang_window: int = 1, axis_name: str | None = None,
+          decimation: int = 1) -> tuple[AGCState, jax.Array]:
     """Apply AGC to one block. audio: [*batch, n] float32 (or complex for
     IQ-mode level control — envelope uses |.|). `hang_window` is static
     (samples; from `hang_samples(fs)`). With `axis_name` (inside shard_map
-    over a time-sharded axis) the ballistics run exactly across shards."""
+    over a time-sharded axis) the ballistics run exactly across shards.
+
+    `decimation` (static) runs the ballistics on per-group envelope peaks:
+    a D× reduction in scan traffic at D-sample attack granularity (e.g.
+    D=8 at 12 kHz = 0.7 ms) — the production-throughput setting; D=1 is
+    sample-exact.
+    """
     env = jnp.abs(audio).astype(jnp.float32)
+    n = env.shape[-1]
+    if decimation > 1:
+        if n % decimation:
+            raise ValueError("block length must be divisible by decimation")
+        env = env.reshape(*env.shape[:-1], n // decimation, decimation
+                          ).max(-1)
+        if hang_window > 1:
+            hang_window = max(1, hang_window // decimation)
     env_db = 20.0 * jnp.log10(jnp.maximum(env, ENV_FLOOR))
 
     # peak tracking: y[n] = max(y[n-1] - d, env_db[n])  (max-plus scan)
-    d = jnp.broadcast_to(-params.decay_per_sample_db, env_db.shape)
+    d = jnp.broadcast_to(-params.decay_per_sample_db * decimation,
+                         env_db.shape)
     peak_db = scans.maxplus_scan(d, env_db, state.peak_db,
                                  axis_name=axis_name)
     if hang_window > 1:
@@ -109,10 +124,13 @@ def apply(params: AGCParams, state: AGCState, audio: jax.Array,
     gain_db = jnp.where(params.on > 0, auto_gain, manual_gain)
 
     # attack smoothing (one-pole, parallel linear scan)
-    a = jnp.broadcast_to(params.attack_coeff, gain_db.shape)
-    gain_db = scans.linear_scan(a, (1.0 - params.attack_coeff) * gain_db,
+    attack = params.attack_coeff ** decimation
+    a = jnp.broadcast_to(attack, gain_db.shape)
+    gain_db = scans.linear_scan(a, (1.0 - attack) * gain_db,
                                 state.gain_db, axis_name=axis_name)
 
-    out = audio * jnp.power(10.0, gain_db / 20.0).astype(audio.dtype)
     new_state = AGCState(peak_db=peak_db[..., -1], gain_db=gain_db[..., -1])
+    if decimation > 1:
+        gain_db = jnp.repeat(gain_db, decimation, axis=-1)
+    out = audio * jnp.power(10.0, gain_db / 20.0).astype(audio.dtype)
     return new_state, out

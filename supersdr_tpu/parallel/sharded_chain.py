@@ -77,7 +77,8 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
                                          cfg.iq_rate, axis_name=TIME_AXIS)
     astate, audio = agc_ops.apply(params.agc, state.agc, audio,
                                   hang_window=cfg.hang_window,
-                                  axis_name=TIME_AXIS)
+                                  axis_name=TIME_AXIS,
+                                  decimation=cfg.agc_decimation)
 
     # squelch gates on the local shard's RSSI (frame-granular, as the
     # KiwiSDR gates per frame — not bit-identical to the serial

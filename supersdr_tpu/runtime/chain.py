@@ -55,6 +55,8 @@ class ChainConfig:
     os_block: int = 2048       # internal overlap-save row length
     n_taps: int = 513          # fixed passband FIR budget (odd)
     hang_ms: float = 500.0
+    hang_enabled: bool = False  # static: compile the hang sliding-max in
+    agc_decimation: int = 1     # static: AGC ballistics decimation (perf)
     max_dev_hz: float = 5000.0  # NBFM deviation full-scale
 
     def __post_init__(self):
@@ -75,6 +77,8 @@ class ChainConfig:
 
     @property
     def hang_window(self) -> int:
+        if not self.hang_enabled:
+            return 1
         return agc_ops.hang_samples(self.iq_rate, self.hang_ms)
 
     @property
@@ -185,7 +189,8 @@ def process(cfg: ChainConfig, params: ChainParams, state: ChainState,
 
     # 5. AGC
     astate, audio = agc_ops.apply(params.agc, state.agc, audio,
-                                  hang_window=cfg.hang_window)
+                                  hang_window=cfg.hang_window,
+                                  decimation=cfg.agc_decimation)
 
     # 5b. squelch gate on the chunk RSSI (SET squelch equivalent)
     sq_state, audio = squelch_ops.apply_squelch(

@@ -32,6 +32,7 @@ class WidebandConfig:
     chunk_in: int = 1_200_000 // 4      # input samples per call
     audio_rate: int = 48000
     n_taps: int = 257
+    agc_decimation: int = 1             # AGC ballistics decimation (perf)
 
     def __post_init__(self):
         if self.fs_in % self.n_chan:
@@ -53,7 +54,8 @@ class WidebandConfig:
                                  audio_rate=self.audio_rate,
                                  chunk=self.chunk_per_chan,
                                  os_block=self.chunk_per_chan,
-                                 n_taps=self.n_taps)
+                                 n_taps=self.n_taps,
+                                 agc_decimation=self.agc_decimation)
 
 
 class WidebandParams(NamedTuple):
