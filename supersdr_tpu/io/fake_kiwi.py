@@ -61,6 +61,15 @@ class FakeKiwiServer:
         self._thread.start()
         return self
 
+    def wait_state(self, key: str, timeout: float = 2.0) -> str:
+        """Block until a SET command has recorded `key` (test helper: the
+        client's control burst is async with respect to frame delivery)."""
+        import time as _time
+        deadline = _time.monotonic() + timeout
+        while key not in self.state and _time.monotonic() < deadline:
+            _time.sleep(0.01)
+        return self.state[key]
+
     def stop(self) -> None:
         self._stop.set()
         try:

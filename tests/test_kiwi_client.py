@@ -28,9 +28,9 @@ def test_snd_audio_stream(rng):
         assert len(samples) == 512
         assert samples.dtype == np.int16
         # server recorded our control burst
-        assert server.state["mod"] == "usb"
-        assert server.state["low_cut"] == "30"
-        assert server.state["agc"] == "1"
+        assert server.wait_state("mod") == "usb"
+        assert server.wait_state("low_cut") == "30"
+        assert server.wait_state("agc") == "1"
         c.close()
     finally:
         server.stop()
@@ -91,8 +91,8 @@ def test_waterfall_stream(rng):
         assert c.info.max_zoom == 14
         assert c.info.max_freq_khz == 30000.0
         np.testing.assert_array_equal(c.wf_bins(f), rows[f.seq])
-        assert server.state["zoom"] == "7"
-        assert server.state["wf_speed"] == "4"
+        assert server.wait_state("zoom") == "7"
+        assert server.wait_state("wf_speed") == "4"
         c.close()
     finally:
         server.stop()
