@@ -23,7 +23,7 @@ audio streams is two fused device programs end to end.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -54,6 +54,7 @@ class PFBPlan:
         return self.window_len - self.hop
 
 
+@lru_cache(maxsize=64)
 def design(n_chan: int, taps_per: int = 8, osr: int = 1,
            cutoff_scale: float = 1.0) -> tuple[PFBPlan, np.ndarray]:
     """Design the prototype lowpass and plan. Cutoff at
@@ -72,7 +73,9 @@ def design(n_chan: int, taps_per: int = 8, osr: int = 1,
         proto = firdesign.lowpass_taps_n(cutoff_scale * 0.5 / n_chan, 1.0, n)
     proto = proto / proto.sum()  # unity per-channel passband (DC) gain
     plan = PFBPlan(n_chan=n_chan, taps_per=taps_per, hop=n_chan // osr)
-    return plan, proto.astype(np.float64)
+    proto = proto.astype(np.float64)
+    proto.setflags(write=False)  # cached instance shared across callers
+    return plan, proto
 
 
 def taps_matrix(plan: PFBPlan, proto: np.ndarray) -> jnp.ndarray:

@@ -84,8 +84,10 @@ def init_state(cfg: WidebandConfig) -> WidebandState:
 
 
 def pfb_plan(cfg: WidebandConfig) -> channelizer.PFBPlan:
-    plan, _ = channelizer.design(cfg.n_chan, cfg.taps_per)
-    return plan
+    # plan is pure structure — building it directly avoids re-running the
+    # prototype FIR design (≈1 ms host time) on every process() step
+    return channelizer.PFBPlan(n_chan=cfg.n_chan, taps_per=cfg.taps_per,
+                               hop=cfg.n_chan)
 
 
 def process(cfg: WidebandConfig, params: WidebandParams,
