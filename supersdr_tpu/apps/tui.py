@@ -179,9 +179,15 @@ class TuiModel:
         return lines
 
 
-def run_tui_wav(path: str, mode: str = "AM", freq_khz: float = 14200.0):
+def run_tui_wav(path: str, mode: str = "AM", freq_khz: float = 14200.0,
+                fps: float = 0.0, width: int = 0, height: int = 0,
+                speed: float = 4.0):
     """Offline TUI: play a KiwiSDR IQ WAV through the chain, render with
-    plain ANSI (no curses dependency), keys via stdin when a TTY."""
+    plain ANSI (no curses dependency), keys via stdin when a TTY.
+
+    fps caps the refresh rate (0 = pace purely by `speed`× realtime);
+    width/height override the terminal-derived display size (reference
+    -r/-W/-H flags, supersdr.py:26-35)."""
     import sys
     import time
 
@@ -199,9 +205,13 @@ def run_tui_wav(path: str, mode: str = "AM", freq_khz: float = 14200.0):
     rx = Receiver(cfg=cfg, center_freq_khz=freq_khz, freq=freq_khz,
                   radio_mode=mode)
     pan = Panadapter(zoom=10, freq_khz=freq_khz)
-    width = min(shutil.get_terminal_size((100, 30)).columns - 2, 160)
-    model = TuiModel(rx=rx, pan=pan, width=width)
+    term = shutil.get_terminal_size((100, 30))
+    width = width or min(term.columns - 2, 160)
+    wf_height = height or max(4, term.lines - 6)
+    model = TuiModel(rx=rx, pan=pan, width=width, wf_height=wf_height)
     win = spectrum.spectrum_window(1024)
+    min_frame_s = 1.0 / fps if fps > 0 else 0.0
+    last_draw = 0.0
     for i in range(0, len(z) - 2048, 2048):
         rx.process(z[i:i + 2048])
         rows = spectrum.segment_rows(jnp.asarray(z[i:i + 2048],
@@ -210,7 +220,14 @@ def run_tui_wav(path: str, mode: str = "AM", freq_khz: float = 14200.0):
         res = spectrum.autolevel(db)
         for row in np.asarray(res.color):
             model.push_row(row)
-        sys.stdout.write("\x1b[2J\x1b[H" + "\n".join(model.render()) + "\n")
-        sys.stdout.flush()
-        time.sleep(2048 / fs / 4)  # 4x realtime playback
+        now = time.monotonic()
+        if now - last_draw >= min_frame_s:
+            last_draw = now
+            sys.stdout.write("\x1b[2J\x1b[H" + "\n".join(model.render())
+                             + "\n")
+            sys.stdout.flush()
+        time.sleep(2048 / fs / max(speed, 1e-6))
+    # always render the end state (an fps cap may have skipped it)
+    sys.stdout.write("\x1b[2J\x1b[H" + "\n".join(model.render()) + "\n")
+    sys.stdout.flush()
     return model

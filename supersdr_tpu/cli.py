@@ -91,6 +91,14 @@ def build_parser() -> argparse.ArgumentParser:
     tu.add_argument("input")
     tu.add_argument("--mode", default="AM")
     tu.add_argument("-f", "--freq", type=float, default=14200.0)
+    tu.add_argument("-r", "--fps", type=float, default=0.0,
+                    help="cap refresh rate (0 = pace by playback speed)")
+    tu.add_argument("-W", "--width", type=int, default=0,
+                    help="display width in columns (0 = fit terminal)")
+    tu.add_argument("-H", "--height", type=int, default=0,
+                    help="waterfall history rows (0 = fit terminal)")
+    tu.add_argument("--speed", type=float, default=4.0,
+                    help="playback speed multiple of realtime")
 
     sub.add_parser("bench", help="run the single-chip benchmark")
     return ap
@@ -206,7 +214,9 @@ def cmd_bench(args) -> int:
 def cmd_tui(args) -> int:
     from supersdr_tpu.apps.tui import run_tui_wav
 
-    run_tui_wav(args.input, mode=args.mode, freq_khz=args.freq)
+    run_tui_wav(args.input, mode=args.mode, freq_khz=args.freq,
+                fps=args.fps, width=args.width, height=args.height,
+                speed=args.speed)
     return 0
 
 
