@@ -123,12 +123,17 @@ def fold_taps(plan: channelizer.PFBPlan, proto: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(g.reshape(plan.taps_per, plan.n_chan), jnp.float32)
 
 
+@partial(jax.jit, static_argnames=("plan", "interpret"))
 def channelize_pallas(plan: channelizer.PFBPlan, G: jax.Array,
                       carry: jax.Array, x: jax.Array,
                       interpret: bool = False
                       ) -> tuple[jax.Array, jax.Array]:
     """Drop-in for `channelizer.channelize` (critical sampling) using the
-    Pallas fold. Returns (new_carry, [M, n_frames])."""
+    Pallas fold. Returns (new_carry, [M, n_frames]).
+
+    Jitted as one program: the surrounding complex ops (FFT, carry slice)
+    must compile together with the kernel — several complex64 primitives
+    have no eager implementation on tunneled TPU backends."""
     fold = pfb_fold(plan, G, carry, x, interpret=interpret)
     spec = jnp.fft.fft(fold, axis=-1)
     # critical sampling: rot ≡ history ≡ 0 (mod M) — no phase correction
