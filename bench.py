@@ -1,7 +1,7 @@
 """Benchmark: wideband IQ→audio throughput on one TPU chip.
 
-Runs the flagship pipeline — polyphase channelizer splitting a wideband
-capture into 100 channels, each through the full receiver chain (NCO →
+Runs the flagship pipeline — polyphase channelizer splitting a 30.72 MHz
+capture into 2560 channels, each through the full receiver chain (NCO →
 overlap-save passband → AM demod → AGC → 4× polyphase resample) — and
 reports aggregate input Msamples/s on the chip.
 
@@ -15,6 +15,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import time
+from functools import partial
 
 import numpy as np
 
@@ -38,22 +39,29 @@ def main():
                       + 1j * rng.normal(size=cfg.chunk_in)) * 0.05,
                      jnp.complex64)
 
-    # warmup / compile
-    st, out = wideband.process(cfg, params, state, iq)
-    out.audio.block_until_ready()
-    st, out = wideband.process(cfg, params, st, iq)
-    out.audio.block_until_ready()
+    # multi-chunk streaming step: scan 4 consecutive chunks per dispatch
+    # (sample-exact vs 4 process() calls; amortizes per-dispatch latency)
+    n_scan = 4
+    iq_chunks = jnp.stack([iq] * n_scan)
 
-    # enough iterations to amortize per-dispatch RPC latency (the axon
+    step = jax.jit(partial(wideband.process_many, cfg))
+
+    # warmup / compile
+    st, audio = step(params, state, iq_chunks)
+    audio.block_until_ready()
+    st, audio = step(params, st, iq_chunks)
+    audio.block_until_ready()
+
+    # enough iterations to amortize residual RPC latency (the axon
     # tunnel adds jittery milliseconds per call)
-    iters = 20
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
-        st, out = wideband.process(cfg, params, st, iq)
-    out.audio.block_until_ready()
+        st, audio = step(params, st, iq_chunks)
+    audio.block_until_ready()
     dt = time.perf_counter() - t0
 
-    msps = cfg.chunk_in * iters / dt / 1e6
+    msps = n_scan * cfg.chunk_in * iters / dt / 1e6
     print(json.dumps({
         "metric": "wideband_iq_to_audio_throughput",
         "value": round(msps, 2),

@@ -109,6 +109,27 @@ def process(cfg: WidebandConfig, params: WidebandParams,
     return WidebandState(pfb_carry=pfb_carry, chain=cstate), out
 
 
+def process_many(cfg: WidebandConfig, params: WidebandParams,
+                 state: WidebandState, iq_chunks: jax.Array
+                 ) -> tuple[WidebandState, jax.Array]:
+    """Process several consecutive chunks in ONE device program.
+
+    iq_chunks: [n_chunks, chunk_in] complex64 → audio
+    [n_chunks, n_chan, chunk_per_chan · upsample].
+
+    A `lax.scan` over the chunk axis threads the streaming state through
+    sample-exactly (identical results to n_chunks `process` calls), while
+    paying host→device dispatch once per *batch* instead of once per
+    chunk — the dispatch/RPC amortization that keeps a tunneled or
+    remote-driven TPU busy at streaming rates.
+    """
+    def body(st, chunk):
+        st2, out = process(cfg, params, st, chunk)
+        return st2, out.audio
+
+    return jax.lax.scan(body, state, iq_chunks)
+
+
 def channel_freqs(cfg: WidebandConfig, center_hz: float = 0.0) -> np.ndarray:
     """Absolute center frequency of each channel given the capture center."""
     plan = pfb_plan(cfg)

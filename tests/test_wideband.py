@@ -80,3 +80,33 @@ def test_sharded_wideband_equals_serial():
                                    rtol=2e-3, atol=3e-4)
         np.testing.assert_allclose(np.asarray(rssi_sh),
                                    np.asarray(out_ref.rssi), atol=0.01)
+
+
+def test_process_many_matches_sequential_calls():
+    """process_many (scan of chunks in one program) is sample-exact vs the
+    same chunks fed through process() one call at a time."""
+    cfg = wideband.WidebandConfig(fs_in=96_000, n_chan=8, chunk_in=16384,
+                                  mode="AM", taps_per=8)
+    stations = [(1, 400.0), (6, 1100.0)]
+    n_chunks = 3
+    iq = mw_band(cfg, stations, cfg.chunk_in * n_chunks, seed=7)
+    params = wideband.make_params(cfg, agc_kwargs=AGC_OFF)
+
+    state = wideband.init_state(cfg)
+    seq = []
+    for i in range(n_chunks):
+        state, out = wideband.process(
+            cfg, params, state,
+            jnp.asarray(iq[i * cfg.chunk_in:(i + 1) * cfg.chunk_in]))
+        seq.append(np.asarray(out.audio))
+    seq = np.stack(seq)
+
+    st2, audio = wideband.process_many(
+        cfg, params, wideband.init_state(cfg),
+        jnp.asarray(iq.reshape(n_chunks, cfg.chunk_in)))
+    np.testing.assert_allclose(np.asarray(audio), seq, rtol=0, atol=1e-5)
+    # carried state also matches
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                atol=1e-5),
+        st2, state)
