@@ -191,8 +191,6 @@ def run_tui_wav(path: str, mode: str = "AM", freq_khz: float = 14200.0,
     import sys
     import time
 
-    import jax.numpy as jnp
-
     from supersdr_tpu.io import wav
     from supersdr_tpu.ops import spectrum
     from supersdr_tpu.runtime import chain
@@ -214,9 +212,8 @@ def run_tui_wav(path: str, mode: str = "AM", freq_khz: float = 14200.0,
     last_draw = 0.0
     for i in range(0, len(z) - 2048, 2048):
         rx.process(z[i:i + 2048])
-        rows = spectrum.segment_rows(jnp.asarray(z[i:i + 2048],
-                                                 jnp.complex64), 1024)
-        db = spectrum.power_spectrum_db(rows, win)
+        db = spectrum.waterfall_rows_db(z[i:i + 2048].astype(np.complex64),
+                                        win, 1024)
         res = spectrum.autolevel(db)
         for row in np.asarray(res.color):
             model.push_row(row)

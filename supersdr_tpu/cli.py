@@ -132,17 +132,13 @@ def cmd_demod(args) -> int:
 
 
 def cmd_waterfall(args) -> int:
-    import jax.numpy as jnp
-
     from supersdr_tpu.display import png, render
     from supersdr_tpu.io import wav
     from supersdr_tpu.ops import spectrum
 
     t, z = wav.read_kiwi_iq_wav(args.input)
-    rows = spectrum.segment_rows(jnp.asarray(z.astype(np.complex64)),
-                                 args.nfft)
     win = spectrum.spectrum_window(args.nfft)
-    db = spectrum.power_spectrum_db(rows, win)
+    db = spectrum.waterfall_rows_db(z.astype(np.complex64), win, args.nfft)
     db = spectrum.time_binned_average(db, max(1, args.avg))
     res = spectrum.autolevel(db)
     color = np.asarray(res.color)[::-1]  # newest row on top
@@ -156,8 +152,6 @@ def cmd_waterfall(args) -> int:
 
 def cmd_wideband(args) -> int:
     from pathlib import Path
-
-    import jax.numpy as jnp
 
     from supersdr_tpu.io import wav
     from supersdr_tpu.runtime import wideband
@@ -179,7 +173,7 @@ def cmd_wideband(args) -> int:
     audio_parts = []
     for i in range(0, len(z) - cfg.chunk_in + 1, cfg.chunk_in):
         state, out = wideband.process(cfg, params, state,
-                                      jnp.asarray(z[i:i + cfg.chunk_in]))
+                                      z[i:i + cfg.chunk_in].astype(np.complex64))
         audio_parts.append(np.asarray(out.audio))
     audio = np.concatenate(audio_parts, axis=-1)
     level = np.sqrt(np.mean(audio ** 2, axis=-1))

@@ -200,9 +200,8 @@ class Receiver:
     def process(self, iq_block: np.ndarray):
         """Demodulate one IQ chunk; returns float32 audio at the audio
         rate with volume and TX-mute applied."""
-        import jax.numpy as jnp
         self.state, out = chain.process(self.cfg, self.params, self.state,
-                                        jnp.asarray(iq_block, jnp.complex64))
+                                        np.asarray(iq_block, np.complex64))
         self.rssi = float(np.asarray(out.rssi)[-1])
         from supersdr_tpu.ops import smeter
         self.smoothed_rssi = float(smeter.smooth(

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from supersdr_tpu.ops import firdesign
+from supersdr_tpu.ops import cx, firdesign
 
 
 @dataclass(frozen=True)
@@ -85,15 +85,17 @@ def taps_matrix(plan: PFBPlan, proto: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(W, jnp.float32)
 
 
-def init_carry(plan: PFBPlan, batch_shape: tuple[int, ...] = (),
-               dtype=jnp.complex64) -> jax.Array:
-    return jnp.zeros(batch_shape + (plan.history,), dtype=dtype)
+def init_carry(plan: PFBPlan, batch_shape: tuple[int, ...] = ()) -> cx.CX:
+    """Zero filter history [*batch, history] (split-complex)."""
+    return cx.zeros(batch_shape + (plan.history,))
 
 
-@partial(jax.jit, static_argnums=0)
-def channelize(plan: PFBPlan, W: jax.Array, carry: jax.Array, x: jax.Array
-               ) -> tuple[jax.Array, jax.Array]:
-    """One streaming step. x: [*batch, n] complex64 with n % hop == 0.
+def channelize_c(plan: PFBPlan, W: jax.Array, carry: jax.Array, x: jax.Array
+                 ) -> tuple[jax.Array, jax.Array]:
+    """One streaming step on complex arrays — traced contexts only
+    (complex64 cannot cross TPU program boundaries; use `channelize` for
+    the public split-complex entry point). x: [*batch, n] complex64 with
+    n % hop == 0.
 
     Returns (new_carry, channels [*batch, n_chan, n // hop]) where
     channels[m, t] is the complex baseband of the band centered at
@@ -140,6 +142,19 @@ def channelize(plan: PFBPlan, W: jax.Array, carry: jax.Array, x: jax.Array
     new_carry = seg[..., -plan.history:]
     out = jnp.moveaxis(chans, -2, -1)             # [..., M, n_frames]
     return new_carry, out
+
+
+@partial(jax.jit, static_argnums=0)
+def _channelize_cx(plan: PFBPlan, W: jax.Array, carry: cx.CX, x: cx.CX
+                   ) -> tuple[cx.CX, cx.CX]:
+    c, out = channelize_c(plan, W, cx.to_complex(carry), cx.to_complex(x))
+    return cx.split(c), cx.split(out)
+
+
+def channelize(plan: PFBPlan, W, carry, x) -> tuple[cx.CX, cx.CX]:
+    """Public streaming step with split-complex (TPU-safe) boundaries.
+    Accepts CX / complex / real for carry and x; see `channelize_c`."""
+    return _channelize_cx(plan, W, cx.as_cx(carry), cx.as_cx(x))
 
 
 def channel_center_freqs(plan: PFBPlan, fs: float) -> np.ndarray:

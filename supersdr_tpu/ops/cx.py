@@ -50,6 +50,21 @@ class CX(NamedTuple):
     def ndim(self):
         return self.re.ndim
 
+    # numpy-style aliases so code written for complex arrays reads naturally
+    @property
+    def real(self):
+        return self.re
+
+    @property
+    def imag(self):
+        return self.im
+
+    def __array__(self, dtype=None, copy=None):
+        """np.asarray(cx) → complex numpy array (two float fetches)."""
+        out = np.asarray(self.re, np.float32).astype(np.complex64) \
+            + 1j * np.asarray(self.im, np.float32).astype(np.complex64)
+        return out if dtype is None else out.astype(dtype)
+
     def __add__(self, o):
         o = as_cx(o)
         return CX(self.re + o.re, self.im + o.im)
@@ -102,6 +117,25 @@ def as_cx(x) -> CX:
 
 def to_numpy(z: CX) -> np.ndarray:
     return np.asarray(z.re).astype(np.complex64) + 1j * np.asarray(z.im)
+
+
+def to_complex(z: CX) -> jax.Array:
+    """CX → complex64 array. ONLY safe inside a traced (jit) context: the
+    TPU runtime this repo benches on rejects complex64 buffers at program
+    boundaries, so eager use on device would abort (VERDICT r1)."""
+    return jax.lax.complex(jnp.asarray(z.re, jnp.float32),
+                           jnp.asarray(z.im, jnp.float32))
+
+
+def split(x: jax.Array) -> CX:
+    """complex array (a tracer inside jit, or any array on CPU) → CX."""
+    if isinstance(x, CX):
+        return x
+    if jnp.iscomplexobj(x):
+        return CX(jnp.real(x).astype(jnp.float32),
+                  jnp.imag(x).astype(jnp.float32))
+    x = jnp.asarray(x, jnp.float32)
+    return CX(x, jnp.zeros_like(x))
 
 
 def zeros(shape, dtype=jnp.float32) -> CX:

@@ -30,24 +30,25 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from supersdr_tpu.ops import scans
+from supersdr_tpu.ops import cx, scans
 
 
 class DemodState(NamedTuple):
     """Streaming state shared across modes (unused fields stay zero).
 
-    last_sample: final complex input of the previous block (NBFM memory)
+    last_sample: final complex input of the previous block (NBFM memory),
+                 carried split-complex so the state pytree crosses TPU
+                 program boundaries (no complex64 buffers)
     dc_x, dc_y:  DC-blocker state (AM)
     """
-    last_sample: jax.Array
+    last_sample: cx.CX
     dc_x: jax.Array
     dc_y: jax.Array
 
 
 def init_state(batch_shape: tuple[int, ...] = ()) -> DemodState:
-    z = jnp.zeros(batch_shape, jnp.complex64)
     f = jnp.zeros(batch_shape, jnp.float32)
-    return DemodState(last_sample=z, dc_x=f, dc_y=f)
+    return DemodState(last_sample=cx.zeros(batch_shape), dc_x=f, dc_y=f)
 
 
 def demod_ssb(state: DemodState, y: jax.Array) -> tuple[DemodState, jax.Array]:
@@ -68,7 +69,8 @@ def demod_nbfm(state: DemodState, y: jax.Array, fs: float,
                max_dev_hz: float = 5000.0, axis_name: str | None = None
                ) -> tuple[DemodState, jax.Array]:
     """Quadrature discriminator; output ±1 at ±max_dev_hz deviation."""
-    first = jnp.broadcast_to(state.last_sample, y[..., 0].shape)
+    last = cx.to_complex(state.last_sample)
+    first = jnp.broadcast_to(last, y[..., 0].shape)
     if axis_name is not None:
         neighbor = scans.left_halo(y, 1, axis_name)[..., 0]
         idx = jax.lax.axis_index(axis_name)
@@ -77,7 +79,7 @@ def demod_nbfm(state: DemodState, y: jax.Array, fs: float,
     dphi = jnp.angle(y * jnp.conj(prev)).astype(jnp.float32)
     scale = fs / (2.0 * jnp.pi * max_dev_hz)
     audio = dphi * scale
-    return state._replace(last_sample=y[..., -1]), audio
+    return state._replace(last_sample=cx.split(y[..., -1])), audio
 
 
 def demod_iq(state: DemodState, y: jax.Array) -> tuple[DemodState, jax.Array]:

@@ -12,18 +12,25 @@ as an explicit functional state so the op composes under `jit`, `vmap`
 On TPU this turns a memory-bound small convolution into large fused
 FFT+elementwise work with static shapes; XLA fuses the mask multiply into
 the transform epilogue.
+
+Boundary convention (TPU-critical, VERDICT r1): the TPU runtime rejects
+complex64 buffers at *program boundaries*, while complex math (incl. the
+FFT HLO) works fine inside programs. All public entry points therefore
+take/return split-complex `cx.CX` float pairs; the `*_c` helpers operate on
+complex arrays and are for use inside already-traced code (chain bodies,
+shard_map bodies).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from supersdr_tpu.ops import firdesign
+from supersdr_tpu.ops import cx, firdesign
 
 
 @dataclass(frozen=True)
@@ -52,24 +59,28 @@ def plan_for(block: int, n_taps: int) -> OSPlan:
                   fft_size=firdesign.next_pow2(block + n_taps - 1))
 
 
-def taps_to_freq(plan: OSPlan, taps: np.ndarray) -> jnp.ndarray:
-    """Frequency response of `taps` at the plan's FFT size (device array)."""
+def taps_to_freq(plan: OSPlan, taps: np.ndarray) -> cx.CX:
+    """Frequency response of `taps` at the plan's FFT size, as a CX pair
+    (host-side FFT in float64; device arrays are float32 planes)."""
     if len(taps) != plan.n_taps:
         raise ValueError(f"taps length {len(taps)} != plan n_taps {plan.n_taps}")
     H = np.fft.fft(np.asarray(taps), n=plan.fft_size)
-    return jnp.asarray(H.astype(np.complex64))
+    return cx.CX(jnp.asarray(H.real, jnp.float32),
+                 jnp.asarray(H.imag, jnp.float32))
 
 
-def init_carry(plan: OSPlan, batch_shape: tuple[int, ...] = (),
-               dtype=jnp.complex64) -> jnp.ndarray:
-    """Zero history of shape [*batch, n_taps-1]."""
-    return jnp.zeros(batch_shape + (plan.overlap,), dtype=dtype)
+def init_carry(plan: OSPlan, batch_shape: tuple[int, ...] = ()) -> cx.CX:
+    """Zero history of shape [*batch, n_taps-1] (split-complex)."""
+    return cx.zeros(batch_shape + (plan.overlap,))
 
 
-@partial(jax.jit, static_argnums=0)
-def overlap_save(plan: OSPlan, H: jax.Array, carry: jax.Array,
-                 x: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """One streaming filter step.
+# ---------------------------------------------------------------------------
+# complex-domain cores — call ONLY inside traced code
+# ---------------------------------------------------------------------------
+
+def overlap_save_c(plan: OSPlan, H: jax.Array, carry: jax.Array,
+                   x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """One streaming filter step on complex arrays (traced contexts only).
 
     H:     [fft_size] complex64 frequency response (taps or mask)
     carry: [*batch, n_taps-1] history (previous block's tail)
@@ -87,10 +98,9 @@ def overlap_save(plan: OSPlan, H: jax.Array, carry: jax.Array,
     return new_carry, y
 
 
-@partial(jax.jit, static_argnums=0)
-def overlap_save_batch(plan: OSPlan, H: jax.Array, head: jax.Array,
-                       x: jax.Array) -> jax.Array:
-    """Filter a long signal split into already-stacked blocks, no recurrence.
+def overlap_save_batch_c(plan: OSPlan, H: jax.Array, head: jax.Array,
+                         x: jax.Array) -> jax.Array:
+    """Filter already-stacked blocks, no recurrence (traced contexts only).
 
     x:    [*batch, n_blocks, block]
     head: [*batch, n_taps-1] history preceding the first block
@@ -111,24 +121,57 @@ def overlap_save_batch(plan: OSPlan, H: jax.Array, head: jax.Array,
     return y_full[..., plan.overlap: plan.overlap + plan.block]
 
 
-def filter_signal(taps: np.ndarray, x: np.ndarray, block: int = 4096
-                  ) -> np.ndarray:
-    """Convenience: stream a whole 1-D/ND signal through overlap-save.
+# ---------------------------------------------------------------------------
+# public split-complex entry points (float-only program boundaries)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=0)
+def _overlap_save_cx(plan: OSPlan, H: cx.CX, carry: cx.CX, x: cx.CX
+                     ) -> tuple[cx.CX, cx.CX]:
+    c, y = overlap_save_c(plan, cx.to_complex(H), cx.to_complex(carry),
+                          cx.to_complex(x))
+    return cx.split(c), cx.split(y)
+
+
+def overlap_save(plan: OSPlan, H, carry, x) -> tuple[cx.CX, cx.CX]:
+    """One streaming filter step. Accepts CX / complex / real inputs;
+    returns (new_carry, y) as CX."""
+    return _overlap_save_cx(plan, cx.as_cx(H), cx.as_cx(carry), cx.as_cx(x))
+
+
+@partial(jax.jit, static_argnums=0)
+def _overlap_save_batch_cx(plan: OSPlan, H: cx.CX, head: cx.CX, x: cx.CX
+                           ) -> cx.CX:
+    y = overlap_save_batch_c(plan, cx.to_complex(H), cx.to_complex(head),
+                             cx.to_complex(x))
+    return cx.split(y)
+
+
+def overlap_save_batch(plan: OSPlan, H, head, x) -> cx.CX:
+    """Batched (stacked-blocks) filter step. Accepts CX / complex / real;
+    returns y [*batch, n_blocks, block] as CX."""
+    return _overlap_save_batch_cx(plan, cx.as_cx(H), cx.as_cx(head),
+                                  cx.as_cx(x))
+
+
+def filter_signal(taps: np.ndarray, x, block: int = 4096) -> np.ndarray:
+    """Host convenience: stream a whole 1-D/ND signal through overlap-save.
 
     Zero history at t=0; output length equals input length, matching the
     reference's `valid`-with-carry convention (first n_taps-1 outputs see
-    zero-padded history).
+    zero-padded history). Returns a numpy array — real when both taps and
+    input are real, complex otherwise.
     """
-    x = jnp.asarray(x)
-    n = x.shape[-1]
+    x_np = np.asarray(x)
+    want_real = (not np.iscomplexobj(np.asarray(taps))
+                 and not np.iscomplexobj(x_np))
+    n = x_np.shape[-1]
     plan = plan_for(block, len(taps))
     H = taps_to_freq(plan, taps)
     pad = (-n) % block
-    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
-    blocks = xp.reshape(*x.shape[:-1], -1, block)
-    head = init_carry(plan, x.shape[:-1])
-    y = overlap_save_batch(plan, H, head, blocks)
-    y = y.reshape(*x.shape[:-1], -1)[..., :n]
-    if not np.iscomplexobj(np.asarray(taps)) and not jnp.iscomplexobj(x):
-        y = y.real
-    return y
+    xp = np.pad(x_np, [(0, 0)] * (x_np.ndim - 1) + [(0, pad)])
+    blocks = xp.reshape(*x_np.shape[:-1], -1, block)
+    head = init_carry(plan, x_np.shape[:-1])
+    y = overlap_save_batch(plan, H, head, cx.as_cx(blocks))
+    out = cx.to_numpy(y).reshape(*x_np.shape[:-1], -1)[..., :n]
+    return out.real if want_real else out

@@ -26,7 +26,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from supersdr_tpu.ops import channelizer
+from supersdr_tpu.ops import channelizer, cx
 
 
 def _round_up8(n: int) -> int:
@@ -56,11 +56,11 @@ def _fold_kernel(g_ref, re_ref, im_ref, out_re, out_im, scr_re, scr_im,
     out_im[:, :] = acc_im
 
 
-@partial(jax.jit, static_argnames=("plan", "tile_t", "interpret"))
-def pfb_fold(plan: channelizer.PFBPlan, G: jax.Array, carry: jax.Array,
-             x: jax.Array, tile_t: int = 256,
-             interpret: bool = False) -> jax.Array:
-    """Compute the WOLA fold for a critically-sampled PFB.
+def pfb_fold_c(plan: channelizer.PFBPlan, G: jax.Array, carry: jax.Array,
+               x: jax.Array, tile_t: int = 256,
+               interpret: bool = False) -> jax.Array:
+    """Compute the WOLA fold for a critically-sampled PFB (traced contexts
+    only — complex in/out).
 
     G:     [K, M] float32 — taps arranged so that
            fold[t, r] = Σ_k G[k, r]·rows[t+k, r] (see channelizer:
@@ -123,19 +123,30 @@ def fold_taps(plan: channelizer.PFBPlan, proto: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(g.reshape(plan.taps_per, plan.n_chan), jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("plan", "interpret"))
-def channelize_pallas(plan: channelizer.PFBPlan, G: jax.Array,
-                      carry: jax.Array, x: jax.Array,
-                      interpret: bool = False
-                      ) -> tuple[jax.Array, jax.Array]:
-    """Drop-in for `channelizer.channelize` (critical sampling) using the
-    Pallas fold. Returns (new_carry, [M, n_frames]).
-
-    Jitted as one program: the surrounding complex ops (FFT, carry slice)
-    must compile together with the kernel — several complex64 primitives
-    have no eager implementation on tunneled TPU backends."""
-    fold = pfb_fold(plan, G, carry, x, interpret=interpret)
+def channelize_pallas_c(plan: channelizer.PFBPlan, G: jax.Array,
+                        carry: jax.Array, x: jax.Array,
+                        interpret: bool = False
+                        ) -> tuple[jax.Array, jax.Array]:
+    """Drop-in for `channelizer.channelize_c` (critical sampling) using the
+    Pallas fold. Traced contexts only; returns (new_carry, [M, n_frames])."""
+    fold = pfb_fold_c(plan, G, carry, x, interpret=interpret)
     spec = jnp.fft.fft(fold, axis=-1)
     # critical sampling: rot ≡ history ≡ 0 (mod M) — no phase correction
     new_carry = jnp.concatenate([carry, x], axis=-1)[..., -plan.history:]
     return new_carry, jnp.moveaxis(spec, -2, -1)
+
+
+@partial(jax.jit, static_argnames=("plan", "interpret"))
+def _channelize_pallas_cx(plan: channelizer.PFBPlan, G: jax.Array,
+                          carry: cx.CX, x: cx.CX, interpret: bool = False
+                          ) -> tuple[cx.CX, cx.CX]:
+    c, out = channelize_pallas_c(plan, G, cx.to_complex(carry),
+                                 cx.to_complex(x), interpret=interpret)
+    return cx.split(c), cx.split(out)
+
+
+def channelize_pallas(plan: channelizer.PFBPlan, G: jax.Array, carry, x,
+                      interpret: bool = False) -> tuple[cx.CX, cx.CX]:
+    """Public entry with split-complex (TPU-safe) program boundaries."""
+    return _channelize_pallas_cx(plan, G, cx.as_cx(carry), cx.as_cx(x),
+                                 interpret=interpret)

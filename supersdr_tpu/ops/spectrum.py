@@ -13,11 +13,14 @@ entire waterfall history processes in one fused XLA program.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from supersdr_tpu.ops import cx
 
 MIN_DYN_RANGE_DB = 40.0     # kiwi_waterfall.MIN_DYN_RANGE
 CLIP_LOW_PERCENTILE = 40.0  # kiwi_waterfall.CLIP_LOWP
@@ -39,11 +42,14 @@ def spectrum_window(nfft: int, kind: str = "hann") -> jnp.ndarray:
     return jnp.asarray(w, jnp.float32)
 
 
-def power_spectrum_db(iq: jax.Array, window: jax.Array,
+def power_spectrum_db(iq, window: jax.Array,
                       cal_db: float = KIWI_WF_CAL_DB) -> jax.Array:
-    """Windowed FFT power rows. iq: [*batch, nfft] complex → [*batch, nfft]
-    dB, fftshifted so bin 0 is the low edge of the span (matching the
-    waterfall's left-to-right frequency order)."""
+    """Windowed FFT power rows. iq: [*batch, nfft] complex (or CX) →
+    [*batch, nfft] dB, fftshifted so bin 0 is the low edge of the span
+    (matching the waterfall's left-to-right frequency order). Complex input
+    is for traced contexts; eager TPU callers use `waterfall_rows_db`."""
+    if isinstance(iq, cx.CX):
+        iq = cx.to_complex(iq)
     nfft = iq.shape[-1]
     xw = iq * window.astype(iq.dtype)
     X = jnp.fft.fftshift(jnp.fft.fft(xw, axis=-1), axes=-1)
@@ -51,13 +57,31 @@ def power_spectrum_db(iq: jax.Array, window: jax.Array,
     return 10.0 * jnp.log10(jnp.maximum(p, 1e-30)) + cal_db
 
 
-def segment_rows(iq: jax.Array, nfft: int, hop: int | None = None) -> jax.Array:
-    """Split a long IQ block into FFT rows. iq [..., n] → [..., rows, nfft]."""
+def segment_rows(iq, nfft: int, hop: int | None = None):
+    """Split a long IQ block into FFT rows. iq [..., n] → [..., rows, nfft].
+    Works on real, complex, and CX inputs (pure gather)."""
     hop = hop or nfft
     n = iq.shape[-1]
     rows = (n - nfft) // hop + 1
     idx = jnp.arange(rows)[:, None] * hop + jnp.arange(nfft)[None, :]
     return iq[..., idx]
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _waterfall_rows_db_cx(iq: cx.CX, window: jax.Array, nfft: int, hop: int,
+                          cal_db: float) -> jax.Array:
+    rows = segment_rows(cx.to_complex(iq), nfft, hop)
+    return power_spectrum_db(rows, window, cal_db)
+
+
+def waterfall_rows_db(iq, window: jax.Array, nfft: int,
+                      hop: int | None = None,
+                      cal_db: float = KIWI_WF_CAL_DB) -> jax.Array:
+    """Public TPU-safe pipeline: IQ (CX / complex numpy) → [rows, nfft] dB.
+    One fused program — segmentation, window, FFT, power, calibration —
+    with float-only program boundaries."""
+    return _waterfall_rows_db_cx(cx.as_cx(iq), window, nfft,
+                                 int(hop or nfft), float(cal_db))
 
 
 def time_binned_average(rows_db: jax.Array, n_avg: int) -> jax.Array:

@@ -31,6 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from supersdr_tpu.ops import agc as agc_ops
+from supersdr_tpu.ops import cx
 from supersdr_tpu.ops import demod as demod_ops
 from supersdr_tpu.ops import mixer, overlap_save, resample, scans, smeter
 from supersdr_tpu.ops import squelch as squelch_ops
@@ -41,22 +42,23 @@ from supersdr_tpu.runtime.chain import (ChainConfig, ChainOutput, ChainParams,
 
 
 def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
-                  iq: jax.Array):
-    """shard_map body. iq: [C_local, N_local] complex64. cfg.chunk must
+                  iq: cx.CX):
+    """shard_map body. iq: [C_local, N_local] split-complex. cfg.chunk must
     equal N_local. Returns (per-shard-stacked state, output)."""
     plan = cfg.os_plan
     t_idx = jax.lax.axis_index(TIME_AXIS)
     batch = iq.shape[:-1]
     n_rows = cfg.chunk // cfg.os_block
+    iqc = cx.to_complex(iq)
 
     # 0. noise blanker (shard-local median when enabled; exact passthrough
     #    when disabled — the default)
-    iq = squelch_ops.apply_blanker(params.blanker, iq.astype(jnp.complex64))
+    iqc = squelch_ops.apply_blanker(params.blanker, iqc)
 
     # 1. NCO with per-time-shard phase base: shard t starts at t*N_local
     phase0 = jnp.mod(state.phase + t_idx.astype(jnp.float32)
                      * params.nco.block_inc, 1.0)
-    _, x = mixer.mix(params.nco, phase0, iq)
+    _, x = mixer.mix(params.nco, phase0, iqc)
     phase_out = jnp.mod(state.phase
                         + (t_idx.astype(jnp.float32) + 1.0)
                         * params.nco.block_inc, 1.0)
@@ -64,10 +66,12 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
     # 2. overlap-save passband; history = left neighbor's tail (halo) or the
     #    incoming stream state on shard 0
     halo = scans.left_halo(x, plan.overlap, TIME_AXIS)
-    head = jnp.where(t_idx == 0, state.os_carry.astype(jnp.complex64), halo)
+    head = jnp.where(t_idx == 0, cx.to_complex(state.os_carry), halo)
     rows = x.reshape(*batch, n_rows, cfg.os_block)
-    y_rows = overlap_save.overlap_save_batch(plan, params.H_pass, head, rows)
-    os_carry = x[..., -plan.overlap:]
+    y_rows = overlap_save.overlap_save_batch_c(plan,
+                                               cx.to_complex(params.H_pass),
+                                               head, rows)
+    os_carry = cx.split(x[..., -plan.overlap:])
     y = y_rows.reshape(*batch, cfg.chunk)
 
     rssi = smeter.rssi_db(y_rows)
@@ -88,7 +92,7 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
 
     # 5. resample; history halo in the audio domain
     if cfg.mode.upper() == "IQ":
-        out_audio = audio
+        out_audio = cx.split(audio)
         icarry = state.interp_carry
     else:
         iplan = cfg.interp_plan
@@ -102,7 +106,8 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
                            squelch=sq_state)
     # stack a leading per-time-shard axis so the caller can take shard D-1
     stacked = jax.tree.map(lambda s: s[None], new_state)
-    return stacked, ChainOutput(audio=out_audio, rssi=rssi, baseband=y)
+    return stacked, ChainOutput(audio=out_audio, rssi=rssi,
+                                baseband=cx.split(y))
 
 
 def build(cfg: ChainConfig, mesh: Mesh):
@@ -115,17 +120,20 @@ def build(cfg: ChainConfig, mesh: Mesh):
     """
     n_time = mesh.shape[TIME_AXIS]
 
+    def cxspec(*p):
+        return cx.CX(P(*p), P(*p))
+
     params_spec = ChainParams(
         nco=mixer.NCOParams(ramp=P(CHAN_AXIS, None), block_inc=P(CHAN_AXIS)),
-        H_pass=P(), P_interp=P(),
+        H_pass=cxspec(), P_interp=P(),
         agc=jax.tree.map(lambda _: P(), agc_ops.make_params(cfg.iq_rate)),
         squelch=jax.tree.map(lambda _: P(), squelch_ops.make_squelch()),
         blanker=jax.tree.map(lambda _: P(), squelch_ops.make_blanker()),
     )
     state_spec = ChainState(
         phase=P(CHAN_AXIS),
-        os_carry=P(CHAN_AXIS, None),
-        demod=demod_ops.DemodState(last_sample=P(CHAN_AXIS),
+        os_carry=cxspec(CHAN_AXIS, None),
+        demod=demod_ops.DemodState(last_sample=cxspec(CHAN_AXIS),
                                    dc_x=P(CHAN_AXIS), dc_y=P(CHAN_AXIS)),
         agc=agc_ops.AGCState(peak_db=P(CHAN_AXIS), gain_db=P(CHAN_AXIS)),
         interp_carry=P(CHAN_AXIS, None),
@@ -133,23 +141,31 @@ def build(cfg: ChainConfig, mesh: Mesh):
                                          gain=P(CHAN_AXIS)),
     )
     out_state_spec = jax.tree.map(
-        lambda p: P(TIME_AXIS, *p), state_spec)
+        lambda p: P(TIME_AXIS, *p), state_spec,
+        is_leaf=lambda x: isinstance(x, P))
+    audio_spec = (cxspec(CHAN_AXIS, TIME_AXIS) if cfg.mode.upper() == "IQ"
+                  else P(CHAN_AXIS, TIME_AXIS))
     out_spec = (out_state_spec,
-                ChainOutput(audio=P(CHAN_AXIS, TIME_AXIS),
+                ChainOutput(audio=audio_spec,
                             rssi=P(CHAN_AXIS, TIME_AXIS),
-                            baseband=P(CHAN_AXIS, TIME_AXIS)))
+                            baseband=cxspec(CHAN_AXIS, TIME_AXIS)))
 
     body = partial(_sharded_body, cfg)
     sharded = jax.shard_map(body, mesh=mesh,
                             in_specs=(params_spec, state_spec,
-                                      P(CHAN_AXIS, TIME_AXIS)),
+                                      cxspec(CHAN_AXIS, TIME_AXIS)),
                             out_specs=out_spec, check_vma=False)
 
     @jax.jit
-    def process(params: ChainParams, state: ChainState, iq: jax.Array):
+    def _process_cx(params: ChainParams, state: ChainState, iq: cx.CX):
         stacked, out = sharded(params, state, iq)
         final = jax.tree.map(lambda s: s[-1], stacked)
         return final, out
+
+    def process(params: ChainParams, state: ChainState, iq):
+        """iq: [n_chan, chunk·n_time] — CX or complex numpy (split
+        host-side; complex64 never touches the program boundary)."""
+        return _process_cx(params, state, cx.as_cx(iq))
 
     return process
 

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from supersdr_tpu.ops import channelizer, scans
+from supersdr_tpu.ops import channelizer, cx, scans
 from supersdr_tpu.runtime import chain as chain_mod
 from supersdr_tpu.runtime import wideband as wb
 
@@ -52,14 +52,15 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
     ccfg = cfg.chain_cfg
 
     def body(params: wb.WidebandParams, state: wb.WidebandState,
-             iq: jax.Array):
+             iq: cx.CX):
         # ---- phase 1: time-sharded PFB with halo history
+        iqc = cx.to_complex(iq)
         idx = jax.lax.axis_index(AXIS)
-        halo = scans.left_context(iq, plan.history, AXIS)
-        head = jnp.where(idx == 0, state.pfb_carry, halo)
-        _, chans = channelizer.channelize(plan, params.W_pfb, head, iq)
+        halo = scans.left_context(iqc, plan.history, AXIS)
+        head = jnp.where(idx == 0, cx.to_complex(state.pfb_carry), halo)
+        _, chans = channelizer.channelize_c(plan, params.W_pfb, head, iqc)
         # chans: [n_chan, frames_local]
-        pfb_carry = iq[..., -plan.history:]
+        pfb_carry = iqc[..., -plan.history:]
 
         # ---- reshard: time-split -> channel-split (all_to_all over ICI)
         # [n_chan, f_local] -> [n_chan/d, f_local*d]
@@ -67,13 +68,16 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
                                    tiled=True)
 
         # ---- phase 2: channel-parallel chains, full time on-device
-        cstate, out = chain_mod.process(ccfg, params.chain, state.chain,
-                                        chans)
+        cstate, out = chain_mod.process_traced(ccfg, params.chain,
+                                               state.chain, cx.split(chans))
         # pfb carry lives on the last time shard; broadcast it so the next
         # call's shard 0 check uses the right value
         last = jax.lax.all_gather(pfb_carry, AXIS)[d - 1]
-        return (wb.WidebandState(pfb_carry=last, chain=cstate),
+        return (wb.WidebandState(pfb_carry=cx.split(last), chain=cstate),
                 out.audio, out.rssi)
+
+    def cxspec(*p):
+        return cx.CX(P(*p), P(*p))
 
     chain_param_spec = jax.tree.map(lambda _: P(), chain_mod.make_params(ccfg))
     chain_param_spec = chain_param_spec._replace(
@@ -83,15 +87,22 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
     chain_state_spec = jax.tree.map(lambda _: P(AXIS), chain_mod.init_state(
         ccfg, (d,)))
     chain_state_spec = chain_state_spec._replace(
-        os_carry=P(AXIS, None), interp_carry=P(AXIS, None))
-    state_spec = wb.WidebandState(pfb_carry=P(), chain=chain_state_spec)
-    out_spec = (wb.WidebandState(pfb_carry=P(), chain=chain_state_spec),
+        os_carry=cxspec(AXIS, None), interp_carry=P(AXIS, None),
+        demod=chain_state_spec.demod._replace(last_sample=cxspec(AXIS)))
+    state_spec = wb.WidebandState(pfb_carry=cxspec(), chain=chain_state_spec)
+    out_spec = (wb.WidebandState(pfb_carry=cxspec(), chain=chain_state_spec),
                 P(AXIS, None), P(AXIS, None))
 
     sharded = jax.shard_map(body, mesh=mesh,
-                            in_specs=(params_spec, state_spec, P(AXIS)),
+                            in_specs=(params_spec, state_spec, cxspec(AXIS)),
                             out_specs=out_spec, check_vma=False)
-    return jax.jit(sharded)
+    jitted = jax.jit(sharded)
+
+    def process(params, state, iq):
+        """iq: [chunk_in] — CX or complex numpy (split host-side)."""
+        return jitted(params, state, cx.as_cx(iq))
+
+    return process
 
 
 def make_params(cfg: wb.WidebandConfig, **kw) -> wb.WidebandParams:

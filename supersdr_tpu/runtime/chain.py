@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from supersdr_tpu.ops import agc as agc_ops
+from supersdr_tpu.ops import cx
 from supersdr_tpu.ops import demod as demod_ops
 from supersdr_tpu.ops import firdesign, mixer, overlap_save, passband, resample
 from supersdr_tpu.ops import smeter
@@ -88,9 +89,14 @@ class ChainConfig:
 
 
 class ChainParams(NamedTuple):
-    """Runtime tuning (a pytree of arrays; swap freely without retracing)."""
+    """Runtime tuning (a pytree of arrays; swap freely without retracing).
+
+    All complex quantities are split-complex `cx.CX` float pairs: the TPU
+    runtime rejects complex64 buffers at program boundaries (VERDICT r1),
+    and params cross that boundary on every dispatch.
+    """
     nco: mixer.NCOParams
-    H_pass: jax.Array          # [fft_size] complex64 passband response
+    H_pass: cx.CX              # [fft_size] split-complex passband response
     P_interp: jax.Array        # [per, L] polyphase interpolation matrix
     agc: agc_ops.AGCParams
     squelch: squelch_ops.SquelchParams
@@ -99,7 +105,7 @@ class ChainParams(NamedTuple):
 
 class ChainState(NamedTuple):
     phase: jax.Array
-    os_carry: jax.Array
+    os_carry: cx.CX            # split-complex filter history
     demod: demod_ops.DemodState
     agc: agc_ops.AGCState
     interp_carry: jax.Array
@@ -108,8 +114,9 @@ class ChainState(NamedTuple):
 
 class ChainOutput(NamedTuple):
     audio: jax.Array     # [*batch, chunk * upsample] float32 at audio_rate
+                         # (IQ mode: split-complex cx.CX baseband instead)
     rssi: jax.Array      # [*batch, chunk/os_block] per-row RSSI dB
-    baseband: jax.Array  # [*batch, chunk] passband-filtered complex (pre-demod)
+    baseband: cx.CX      # [*batch, chunk] passband-filtered split-complex
 
 
 def make_params(cfg: ChainConfig,
@@ -159,25 +166,32 @@ def init_state(cfg: ChainConfig, batch_shape: tuple[int, ...] = ()
     )
 
 
-@partial(jax.jit, static_argnums=0)
-def process(cfg: ChainConfig, params: ChainParams, state: ChainState,
-            iq: jax.Array) -> tuple[ChainState, ChainOutput]:
-    """Run one chunk through the full chain. iq: [*batch, chunk] complex64."""
+def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
+                   iq: cx.CX) -> tuple[ChainState, ChainOutput]:
+    """Chain body for traced contexts (inside jit/scan/shard_map).
+
+    iq: [*batch, chunk] split-complex. Complex math happens freely inside;
+    every leaf of the returned pytrees is float (CX for complex values) so
+    the enclosing program's boundary stays TPU-legal.
+    """
     plan = cfg.os_plan
     batch = iq.shape[:-1]
     n_rows = cfg.chunk // cfg.os_block
+    iqc = cx.to_complex(iq)
 
     # 0. impulse noise blanker on the raw IQ (SET nb equivalent)
-    iq = squelch_ops.apply_blanker(params.blanker, iq.astype(jnp.complex64))
+    iqc = squelch_ops.apply_blanker(params.blanker, iqc)
 
     # 1. tune: complex mix by -freq_offset
-    phase, x = mixer.mix(params.nco, state.phase, iq)
+    phase, x = mixer.mix(params.nco, state.phase, iqc)
 
     # 2. passband selection: batched overlap-save rows
     rows = x.reshape(*batch, n_rows, cfg.os_block)
-    y_rows = overlap_save.overlap_save_batch(plan, params.H_pass,
-                                             state.os_carry, rows)
-    os_carry = x[..., -plan.overlap:]
+    y_rows = overlap_save.overlap_save_batch_c(plan,
+                                               cx.to_complex(params.H_pass),
+                                               cx.to_complex(state.os_carry),
+                                               rows)
+    os_carry = cx.split(x[..., -plan.overlap:])
     y = y_rows.reshape(*batch, cfg.chunk)
 
     # 3. per-row RSSI from the passband signal (the reference receives one
@@ -198,7 +212,7 @@ def process(cfg: ChainConfig, params: ChainParams, state: ChainState,
 
     # 6. resample to the audio rate (IQ mode keeps complex baseband as-is)
     if cfg.mode.upper() == "IQ":
-        out_audio = audio
+        out_audio = cx.split(audio)
         icarry = state.interp_carry
     else:
         icarry, out_audio = resample.interpolate(cfg.interp_plan,
@@ -209,7 +223,19 @@ def process(cfg: ChainConfig, params: ChainParams, state: ChainState,
     new_state = ChainState(phase=phase, os_carry=os_carry, demod=dstate,
                            agc=astate, interp_carry=icarry,
                            squelch=sq_state)
-    return new_state, ChainOutput(audio=out_audio, rssi=rssi, baseband=y)
+    return new_state, ChainOutput(audio=out_audio, rssi=rssi,
+                                  baseband=cx.split(y))
+
+
+_process_cx = partial(jax.jit, static_argnums=0)(process_traced)
+
+
+def process(cfg: ChainConfig, params: ChainParams, state: ChainState,
+            iq) -> tuple[ChainState, ChainOutput]:
+    """Run one chunk through the full chain. iq: [*batch, chunk] — CX,
+    complex numpy (split host-side, TPU-safe), or a complex array on
+    backends with complex buffers."""
+    return _process_cx(cfg, params, state, cx.as_cx(iq))
 
 
 def run_offline(cfg: ChainConfig, params: ChainParams, iq: np.ndarray,
@@ -226,7 +252,7 @@ def run_offline(cfg: ChainConfig, params: ChainParams, iq: np.ndarray,
                  [(0, 0)] * (iq.ndim - 1) + [(0, pad)])
     audio_parts, rssi_parts = [], []
     for i in range(0, iqp.shape[-1], cfg.chunk):
-        state, out = process(cfg, params, state, jnp.asarray(iqp[..., i:i + cfg.chunk]))
+        state, out = process(cfg, params, state, iqp[..., i:i + cfg.chunk])
         audio_parts.append(np.asarray(out.audio))
         rssi_parts.append(np.asarray(out.rssi))
     audio = np.concatenate(audio_parts, axis=-1)

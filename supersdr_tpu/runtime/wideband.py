@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from supersdr_tpu.ops import channelizer
+from supersdr_tpu.ops import channelizer, cx
 from supersdr_tpu.runtime import chain
 
 
@@ -64,7 +64,7 @@ class WidebandParams(NamedTuple):
 
 
 class WidebandState(NamedTuple):
-    pfb_carry: jax.Array
+    pfb_carry: cx.CX           # split-complex PFB history (TPU boundary)
     chain: chain.ChainState
 
 
@@ -90,31 +90,38 @@ def pfb_plan(cfg: WidebandConfig) -> channelizer.PFBPlan:
                                hop=cfg.n_chan)
 
 
-def process(cfg: WidebandConfig, params: WidebandParams,
-            state: WidebandState, iq: jax.Array
-            ) -> tuple[WidebandState, chain.ChainOutput]:
-    """iq: [chunk_in] wideband complex64 → audio [n_chan, chunk_per_chan*4].
-
-    Dispatched as two jitted stages (PFB, then chains) rather than one
-    fused program: XLA's fusion pass degenerates on the combined
-    gather+FFT+scan graph (hour-scale compiles on TPU), while the split
-    compiles in seconds and the extra dispatch is sub-microsecond against
-    millisecond-scale steps.
-    """
+def process_traced(cfg: WidebandConfig, params: WidebandParams,
+                   state: WidebandState, iq: cx.CX
+                   ) -> tuple[WidebandState, chain.ChainOutput]:
+    """Traced-context body: iq [chunk_in] split-complex wideband →
+    audio [n_chan, chunk_per_chan·upsample]. All boundary leaves float."""
     plan = pfb_plan(cfg)
-    pfb_carry, chans = channelizer.channelize(plan, params.W_pfb,
-                                              state.pfb_carry, iq)
-    cstate, out = chain.process(cfg.chain_cfg, params.chain, state.chain,
-                                chans)
-    return WidebandState(pfb_carry=pfb_carry, chain=cstate), out
+    pfb_carry, chans = channelizer.channelize_c(plan, params.W_pfb,
+                                                cx.to_complex(state.pfb_carry),
+                                                cx.to_complex(iq))
+    cstate, out = chain.process_traced(cfg.chain_cfg, params.chain,
+                                       state.chain, cx.split(chans))
+    return (WidebandState(pfb_carry=cx.split(pfb_carry), chain=cstate), out)
 
 
-def process_many(cfg: WidebandConfig, params: WidebandParams,
-                 state: WidebandState, iq_chunks: jax.Array
-                 ) -> tuple[WidebandState, jax.Array]:
-    """Process several consecutive chunks in ONE device program.
+_process_cx = partial(jax.jit, static_argnums=0)(process_traced)
 
-    iq_chunks: [n_chunks, chunk_in] complex64 → audio
+
+def process(cfg: WidebandConfig, params: WidebandParams,
+            state: WidebandState, iq
+            ) -> tuple[WidebandState, chain.ChainOutput]:
+    """iq: [chunk_in] wideband — CX or complex numpy (split host-side,
+    TPU-safe) → audio [n_chan, chunk_per_chan·upsample], one fused
+    PFB+chains device program."""
+    return _process_cx(cfg, params, state, cx.as_cx(iq))
+
+
+def process_many_traced(cfg: WidebandConfig, params: WidebandParams,
+                        state: WidebandState, iq_chunks: cx.CX
+                        ) -> tuple[WidebandState, jax.Array]:
+    """Several consecutive chunks in ONE device program.
+
+    iq_chunks: [n_chunks, chunk_in] split-complex → audio
     [n_chunks, n_chan, chunk_per_chan · upsample].
 
     A `lax.scan` over the chunk axis threads the streaming state through
@@ -124,10 +131,21 @@ def process_many(cfg: WidebandConfig, params: WidebandParams,
     remote-driven TPU busy at streaming rates.
     """
     def body(st, chunk):
-        st2, out = process(cfg, params, st, chunk)
+        st2, out = process_traced(cfg, params, st, chunk)
         return st2, out.audio
 
     return jax.lax.scan(body, state, iq_chunks)
+
+
+_process_many_cx = partial(jax.jit, static_argnums=0)(process_many_traced)
+
+
+def process_many(cfg: WidebandConfig, params: WidebandParams,
+                 state: WidebandState, iq_chunks
+                 ) -> tuple[WidebandState, jax.Array]:
+    """Public multi-chunk step: iq_chunks [n_chunks, chunk_in] as CX or
+    complex numpy; returns (state, audio[n_chunks, n_chan, out_len])."""
+    return _process_many_cx(cfg, params, state, cx.as_cx(iq_chunks))
 
 
 def channel_freqs(cfg: WidebandConfig, center_hz: float = 0.0) -> np.ndarray:
