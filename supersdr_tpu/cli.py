@@ -112,9 +112,13 @@ def cmd_demod(args) -> int:
     fs = int(round(1.0 / np.median(np.diff(t[:10000]))))
     # snap to a standard kiwi rate
     fs = min((12000, 20250, 24000, 48000), key=lambda r: abs(r - fs))
-    audio_rate = fs * 4
+    # sound-card-standard output rate as the reference (48 kHz; 20.25 kHz
+    # kiwis go through the rational L/M resampler, utils:1126)
+    audio_rate = 48000
+    M = fs // int(np.gcd(fs, audio_rate))
+    chunk = (8192 // M) * M
     cfg = chain.ChainConfig(mode=args.mode, iq_rate=fs, audio_rate=audio_rate,
-                            chunk=8192, os_block=8192)
+                            chunk=chunk, os_block=chunk)
     agc_kwargs = (dict(on=False) if args.agc_off
                   else dict(decay_ms=float(args.agc_decay),
                             thresh_db=float(args.agc_thresh)))

@@ -94,6 +94,23 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
     if cfg.mode.upper() == "IQ":
         out_audio = cx.split(audio)
         icarry = state.interp_carry
+    elif cfg.is_rational:
+        # the rational resampler carries zero-stuffed-domain history;
+        # reconstruct the neighbor's stuffed tail from its last
+        # ceil(history/L) audio samples (stuffing phase is block-aligned
+        # because the local block length is a multiple of M and the
+        # stuffed block length chunk·L is a multiple of L)
+        rplan = cfg.rational_plan
+        audio = audio.astype(jnp.float32)
+        k = -(-rplan.history // rplan.L)
+        halo_in = scans.left_halo(audio, k, TIME_AXIS)
+        up_halo = jnp.zeros(halo_in.shape[:-1] + (k * rplan.L,),
+                            jnp.float32)
+        up_halo = up_halo.at[..., :: rplan.L].set(halo_in)
+        ihalo = up_halo[..., -rplan.history:]
+        ihead = jnp.where(t_idx == 0, state.interp_carry, ihalo)
+        icarry, out_audio = resample.rational_resample_block(
+            rplan, params.P_interp, ihead, audio)
     else:
         iplan = cfg.interp_plan
         audio = audio.astype(jnp.float32)

@@ -65,16 +65,41 @@ class ChainConfig:
             raise ValueError("chunk must be a multiple of os_block")
         if self.n_taps % 2 == 0:
             raise ValueError("n_taps must be odd")
+        if self.audio_rate % self.iq_rate:
+            _, M = self.resample_LM
+            if self.chunk % M:
+                raise ValueError(
+                    f"rational resampling {self.iq_rate}->{self.audio_rate} "
+                    f"needs chunk % {M} == 0 (got chunk={self.chunk}); e.g. "
+                    f"20250->48000 is L/M=32/13.5 -> 64/27 after gcd")
 
     @property
     def os_plan(self) -> overlap_save.OSPlan:
         return overlap_save.plan_for(self.os_block, self.n_taps)
 
     @property
+    def is_rational(self) -> bool:
+        """True when audio_rate / iq_rate is not an integer (e.g. the
+        reference's 20.25 kHz 3-channel kiwis → 48 kHz,
+        /root/reference/utils_supersdr.py:1126)."""
+        return self.audio_rate % self.iq_rate != 0
+
+    @property
+    def resample_LM(self) -> tuple[int, int]:
+        g = int(np.gcd(self.iq_rate, self.audio_rate))
+        return self.audio_rate // g, self.iq_rate // g
+
+    @property
     def upsample(self) -> int:
-        if self.audio_rate % self.iq_rate:
-            raise ValueError("iq_rate must divide audio_rate in this chain")
+        if self.is_rational:
+            raise ValueError("non-integer rate ratio; use resample_LM")
         return self.audio_rate // self.iq_rate
+
+    @property
+    def audio_chunk(self) -> int:
+        """Audio samples produced per process() call."""
+        L, M = self.resample_LM
+        return self.chunk * L // M
 
     @property
     def hang_window(self) -> int:
@@ -85,6 +110,11 @@ class ChainConfig:
     @property
     def interp_plan(self) -> resample.InterpPlan:
         plan, _ = resample.design_interp(self.iq_rate, self.audio_rate)
+        return plan
+
+    @property
+    def rational_plan(self) -> resample.RationalPlan:
+        plan, _ = resample.plan_rational(self.iq_rate, self.audio_rate)
         return plan
 
 
@@ -140,9 +170,14 @@ def make_params(cfg: ChainConfig,
     plan = cfg.os_plan
     taps = firdesign.complex_bandpass_taps(lc, hc, cfg.iq_rate, n=cfg.n_taps)
     H = overlap_save.taps_to_freq(plan, taps)
-    _, P = resample.plan_interp(cfg.upsample,
-                                firdesign.lowpass_taps(cfg.iq_rate / 2,
-                                                       cfg.audio_rate))
+    if cfg.is_rational:
+        # P_interp carries the rational-resampler prototype taps instead
+        # of a polyphase matrix (resample_poly semantics, utils:1126)
+        _, P = resample.plan_rational(cfg.iq_rate, cfg.audio_rate)
+    else:
+        _, P = resample.plan_interp(cfg.upsample,
+                                    firdesign.lowpass_taps(cfg.iq_rate / 2,
+                                                           cfg.audio_rate))
     nco = mixer.NCOParams.make(-np.asarray(freq_offset_hz, np.float64),
                                cfg.iq_rate, cfg.chunk)
     agc_p = agc_ops.make_params(cfg.iq_rate, **(agc_kwargs or {}))
@@ -155,13 +190,17 @@ def make_params(cfg: ChainConfig,
 def init_state(cfg: ChainConfig, batch_shape: tuple[int, ...] = ()
                ) -> ChainState:
     plan = cfg.os_plan
-    iplan = cfg.interp_plan
+    if cfg.is_rational:
+        icarry = jnp.zeros(batch_shape + (cfg.rational_plan.history,),
+                           jnp.float32)
+    else:
+        icarry = resample.init_carry(cfg.interp_plan, batch_shape)
     return ChainState(
         phase=mixer.init_phase(batch_shape),
         os_carry=overlap_save.init_carry(plan, batch_shape),
         demod=demod_ops.init_state(batch_shape),
         agc=agc_ops.init_state(batch_shape),
-        interp_carry=resample.init_carry(iplan, batch_shape),
+        interp_carry=icarry,
         squelch=squelch_ops.init_squelch(batch_shape),
     )
 
@@ -214,6 +253,10 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
     if cfg.mode.upper() == "IQ":
         out_audio = cx.split(audio)
         icarry = state.interp_carry
+    elif cfg.is_rational:
+        icarry, out_audio = resample.rational_resample_block(
+            cfg.rational_plan, params.P_interp, state.interp_carry,
+            audio.astype(jnp.float32))
     else:
         icarry, out_audio = resample.interpolate(cfg.interp_plan,
                                                  params.P_interp,
@@ -258,5 +301,6 @@ def run_offline(cfg: ChainConfig, params: ChainParams, iq: np.ndarray,
     audio = np.concatenate(audio_parts, axis=-1)
     rssi = np.concatenate(rssi_parts, axis=-1)
     if cfg.mode.upper() != "IQ":
-        audio = audio[..., : n * cfg.upsample]
+        L, M = cfg.resample_LM
+        audio = audio[..., : n * L // M]
     return state, audio, rssi

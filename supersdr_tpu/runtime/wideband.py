@@ -33,6 +33,9 @@ class WidebandConfig:
     audio_rate: int = 48000
     n_taps: int = 257
     agc_decimation: int = 1             # AGC ballistics decimation (perf)
+    pallas_fold: bool = False           # PFB fold via the Pallas DMA kernel
+                                        # instead of the XLA gather (A/B'd
+                                        # on-chip in docs/PERFORMANCE.md)
 
     def __post_init__(self):
         if self.fs_in % self.n_chan:
@@ -96,9 +99,18 @@ def process_traced(cfg: WidebandConfig, params: WidebandParams,
     """Traced-context body: iq [chunk_in] split-complex wideband →
     audio [n_chan, chunk_per_chan·upsample]. All boundary leaves float."""
     plan = pfb_plan(cfg)
-    pfb_carry, chans = channelizer.channelize_c(plan, params.W_pfb,
-                                                cx.to_complex(state.pfb_carry),
-                                                cx.to_complex(iq))
+    if cfg.pallas_fold:
+        from supersdr_tpu.ops.pallas import pfb_fold
+        # fold-order taps G[k, r] = rev(proto)[k·M + r], derived from W
+        G = params.W_pfb.reshape(-1)[::-1].reshape(cfg.taps_per, cfg.n_chan)
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        pfb_carry, chans = pfb_fold.channelize_pallas_c(
+            plan, G, cx.to_complex(state.pfb_carry), cx.to_complex(iq),
+            interpret=interpret)
+    else:
+        pfb_carry, chans = channelizer.channelize_c(
+            plan, params.W_pfb, cx.to_complex(state.pfb_carry),
+            cx.to_complex(iq))
     cstate, out = chain.process_traced(cfg.chain_cfg, params.chain,
                                        state.chain, cx.split(chans))
     return (WidebandState(pfb_carry=cx.split(pfb_carry), chain=cstate), out)

@@ -148,3 +148,46 @@ def test_rssi_tracks_level():
     _, r_loud = run(cfg, loud, agc_kwargs=AGC_OFF)
     _, r_quiet = run(cfg, 0.01 * loud, agc_kwargs=AGC_OFF)
     assert 38 < (r_loud[-1] - r_quiet[-1]) < 42  # 40 dB level difference
+
+
+def test_rational_rate_chain_20250():
+    """20.25 kHz kiwis (3-channel mode) reach 48 kHz audio through the
+    rational L/M resampler (reference: resample_poly at
+    utils_supersdr.py:1126). Tone frequency must survive exactly."""
+    fs = 20250
+    n = fs * 4
+    t = np.arange(n) / fs
+    iq = np.exp(2j * np.pi * 1000 * t).astype(np.complex64)
+    # chunk must be a multiple of M=27 (20250/750)
+    cfg = chain.ChainConfig(mode="USB", iq_rate=fs, audio_rate=48000,
+                            chunk=4050, os_block=4050)
+    assert cfg.is_rational and cfg.resample_LM == (64, 27)
+    audio, _ = run(cfg, iq, agc_kwargs=AGC_OFF)
+    assert len(audio) == n * 64 // 27
+    assert tone_snr_db(audio[len(audio) // 2:], 1000, 48000) > 40
+
+
+def test_rational_chunk_invariance():
+    """Streaming state keeps the rational resampler continuous across
+    chunk boundaries: different chunkings give identical audio."""
+    fs = 20250
+    rng = np.random.default_rng(3)
+    n = 16200
+    t = np.arange(n) / fs
+    iq = (np.exp(2j * np.pi * 800 * t)
+          + 0.1 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+          ).astype(np.complex64)
+    cfg_big = chain.ChainConfig(mode="USB", iq_rate=fs, audio_rate=48000,
+                                chunk=16200, os_block=2025)
+    cfg_small = chain.ChainConfig(mode="USB", iq_rate=fs, audio_rate=48000,
+                                  chunk=2025, os_block=2025)
+    a_big, _ = run(cfg_big, iq, agc_kwargs=AGC_OFF)
+    a_small, _ = run(cfg_small, iq, agc_kwargs=AGC_OFF)
+    np.testing.assert_allclose(a_big, a_small, atol=2e-4)
+
+
+def test_rational_chunk_must_divide_M():
+    import pytest
+    with pytest.raises(ValueError):
+        chain.ChainConfig(mode="USB", iq_rate=20250, audio_rate=48000,
+                          chunk=2048, os_block=2048)

@@ -154,3 +154,35 @@ def test_sharded_scan_primitives():
                                  out_specs=P("t"), check_vma=False))(
         jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(got3), np.asarray(ref3))
+
+
+def test_time_sharded_rational_rate_equals_serial():
+    """20250→48000 rational resampling under time sharding: the stuffed-
+    domain halo reconstruction must match the serial carry exactly."""
+    n_dev = 8
+    local = 2025  # multiple of M=27
+    n = local * n_dev
+    rng = np.random.default_rng(5)
+    t = np.arange(n) / 20250
+    iq = (np.exp(2j * np.pi * 900 * t)
+          + 0.05 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+          )[None].astype(np.complex64)
+
+    cfg_ref = chain.ChainConfig(mode="USB", iq_rate=20250, audio_rate=48000,
+                                chunk=n, os_block=local)
+    p_ref = chain.make_params(cfg_ref, freq_offset_hz=np.zeros(1),
+                              agc_kwargs=AGC_ON)
+    s_ref = chain.init_state(cfg_ref, (1,))
+    _, out_ref = chain.process(cfg_ref, p_ref, s_ref, jnp.asarray(iq))
+
+    m = mesh_mod.time_mesh()
+    cfg_sh = chain.ChainConfig(mode="USB", iq_rate=20250, audio_rate=48000,
+                               chunk=local, os_block=local)
+    proc = sharded_chain.build(cfg_sh, m)
+    p_sh = sharded_chain.make_params(cfg_sh, n_chan=1, agc_kwargs=AGC_ON)
+    s_sh = sharded_chain.init_state(cfg_sh, 1)
+    _, out_sh = proc(p_sh, s_sh, jnp.asarray(iq))
+
+    np.testing.assert_allclose(np.asarray(out_sh.audio),
+                               np.asarray(out_ref.audio),
+                               rtol=2e-3, atol=2e-4)

@@ -110,3 +110,19 @@ def test_process_many_matches_sequential_calls():
         lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                                 atol=1e-5),
         st2, state)
+
+
+def test_pallas_fold_config_matches_gather():
+    """cfg.pallas_fold=True (interpret mode on CPU) produces the same
+    audio as the XLA gather channelizer path."""
+    base = dict(fs_in=96_000, n_chan=8, chunk_in=16384, mode="AM",
+                taps_per=8)
+    cfg_g = wideband.WidebandConfig(**base)
+    cfg_p = wideband.WidebandConfig(**base, pallas_fold=True)
+    iq = mw_band(cfg_g, [(1, 400.0), (6, 1100.0)], cfg_g.chunk_in, seed=3)
+    params = wideband.make_params(cfg_g, agc_kwargs=AGC_OFF)
+
+    _, out_g = wideband.process(cfg_g, params, wideband.init_state(cfg_g), iq)
+    _, out_p = wideband.process(cfg_p, params, wideband.init_state(cfg_p), iq)
+    np.testing.assert_allclose(np.asarray(out_p.audio),
+                               np.asarray(out_g.audio), rtol=1e-4, atol=1e-5)
