@@ -35,22 +35,17 @@ from supersdr_tpu.runtime.engine import (EngineConfig, SourceBusy,
 from supersdr_tpu.runtime.governor import DriftCompensator, LatencyGovernor
 
 
-def run_kiwi_session(args) -> int:
-    # -------- pre-connect health gate (utils:648-657 semantics)
+def _gate_and_connect(args):
+    """Pre-connect health gate + connect/negotiate (utils:648-657,
+    960-994 semantics). Returns (client, first_frame, kiwi_rate,
+    true_rate, freq_offset_khz) or raises KiwiGateError."""
     try:
         status = KiwiStatus.fetch(args.kiwiserver, args.kiwiport)
         status.gate()
         freq_offset_khz = status.freq_offset_hz / 1000.0
-    except KiwiGateError as e:
-        print(f"refusing to connect: {e}")
-        return 1
     except OSError:
         freq_offset_khz = 0.0  # old firmware without /status
 
-    mode = (args.mode or get_auto_mode(args.freq)).upper()
-    chunk = 2048
-
-    # -------- connect and negotiate
     client = KiwiClient(args.kiwiserver, args.kiwiport, args.password)
     client.connect()
     client.setup_sound("IQ", -5000, 5000, args.freq)
@@ -59,10 +54,34 @@ def run_kiwi_session(args) -> int:
     true_rate = client.info.audio_rate_true or float(kiwi_rate)
     print(f"connected: {args.kiwiserver}:{args.kiwiport} "
           f"rate={kiwi_rate} (true {true_rate:.2f})")
+    return client, first, kiwi_rate, true_rate, freq_offset_khz
 
-    cfg = chain.ChainConfig(mode=mode, iq_rate=kiwi_rate,
-                            audio_rate=4 * kiwi_rate, chunk=chunk,
-                            os_block=chunk)
+
+def _session_chain_cfg(mode: str, kiwi_rate: int, chunk: int
+                       ) -> chain.ChainConfig:
+    """48 kHz output like the reference sound path; 20.25 kHz kiwis go
+    through the rational resampler (chunk snapped to a multiple of M)."""
+    audio_rate = 48000
+    M = kiwi_rate // int(np.gcd(kiwi_rate, audio_rate))
+    chunk = max(M, (chunk // M) * M)
+    return chain.ChainConfig(mode=mode, iq_rate=kiwi_rate,
+                             audio_rate=audio_rate, chunk=chunk,
+                             os_block=chunk)
+
+
+def run_kiwi_session(args) -> int:
+    if getattr(args, "tui", False):
+        return run_kiwi_tui(args)
+    try:
+        client, first, kiwi_rate, true_rate, freq_offset_khz = \
+            _gate_and_connect(args)
+    except KiwiGateError as e:
+        print(f"refusing to connect: {e}")
+        return 1
+
+    mode = (args.mode or get_auto_mode(args.freq)).upper()
+    cfg = _session_chain_cfg(mode, kiwi_rate, 2048)
+    chunk = cfg.chunk
     rx = Receiver(cfg=cfg, center_freq_khz=args.freq, freq=args.freq,
                   radio_mode=mode)
     pan = Panadapter(zoom=args.zoom, freq_khz=args.freq)
@@ -207,4 +226,101 @@ def run_kiwi_session(args) -> int:
             rigctld.close()
     print(f"session done: {frames_seen[0]} frames, "
           f"{engine.dropped_frames} dropped, RSSI {rx.smoothed_rssi:.1f} dB")
+    return 0
+
+
+def run_kiwi_tui(args) -> int:
+    """Live interactive panadapter (reference supersdr.py:179-1073): IQ
+    stream → native chains + FFT waterfall, keyboard tuning/mode/zoom,
+    dual RX (y/Y/n), CAT sync — rendered as ANSI in the terminal."""
+    import sys
+
+    from supersdr_tpu.apps.live_tui import (LiveTui, ansi_render,
+                                            stdin_keys)
+
+    try:
+        client, first, kiwi_rate, true_rate, _ = _gate_and_connect(args)
+    except KiwiGateError as e:
+        print(f"refusing to connect: {e}")
+        return 1
+
+    mode = (args.mode or get_auto_mode(args.freq)).upper()
+    cfg = _session_chain_cfg(mode, kiwi_rate, 2048)
+    chunk = cfg.chunk
+    rx = Receiver(cfg=cfg, center_freq_khz=args.freq, freq=args.freq,
+                  radio_mode=mode)
+    pan = Panadapter(zoom=args.zoom, freq_khz=args.freq)
+    cat = None
+    if args.radioserver:
+        c = CatClient(args.radioserver, args.radioport)
+        cat = c if c.cat_ok else None
+    import shutil
+    term = shutil.get_terminal_size((100, 30))
+    session = LiveTui.create(rx, pan, width=min(term.columns - 2, 160),
+                             wf_height=max(4, term.lines - 7), cat=cat)
+
+    frames_seen = [0]
+
+    def source():
+        buf = np.zeros(0, np.complex64)
+        pending = [first]
+        while True:
+            if args.frames and frames_seen[0] >= args.frames:
+                return
+            frame = pending.pop() if pending else None
+            if frame is None:
+                try:
+                    msg = client.read()
+                except (KiwiError, OSError):
+                    return
+                if not isinstance(msg, kp.SndFrame):
+                    continue
+                frame = msg
+            kind, gps, z = client.snd_samples(frame)
+            if kind != "iq":
+                continue
+            frames_seen[0] += 1
+            try:
+                client.keepalive()
+            except OSError:
+                pass
+            buf = np.concatenate([buf, z.astype(np.complex64) / 32768.0])
+            while len(buf) >= chunk:
+                yield buf[:chunk]
+                buf = buf[chunk:]
+
+    if args.output:
+        rec_sink = audio_sink.WavFileSink(args.output,
+                                          audio_rate=cfg.audio_rate)
+        frames_q = []
+        rec_sink.start(lambda: frames_q.pop(0) if frames_q else None)
+        sink = frames_q.append
+    else:
+        sd = audio_sink.SoundDeviceSink(audio_rate=cfg.audio_rate,
+                                        blocksize=cfg.audio_chunk)
+        if sd.unavailable:
+            rec_sink, sink = None, None
+        else:
+            frames_q = []
+            sd.start(lambda: frames_q.pop(0) if frames_q else None)
+            rec_sink, sink = sd, frames_q.append
+
+    # tests inject a scripted key source via args.inject_keys
+    keys = getattr(args, "inject_keys", None)
+    if keys is None:
+        keys = stdin_keys() if sys.stdin.isatty() else (lambda: [])
+    try:
+        session.run(source(), keys=keys, sink=sink, render=ansi_render)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        if hasattr(keys, "restore"):
+            keys.restore()
+        if rec_sink is not None:
+            out = rec_sink.stop()
+            if out:
+                print(f"audio written to {out}")
+        client.close()
+    print(f"session done: {frames_seen[0]} frames, "
+          f"RSSI {rx.smoothed_rssi:.1f} dB")
     return 0

@@ -1,0 +1,207 @@
+"""Live interactive panadapter session: the reference's core UX, headless.
+
+The reference's main loop runs a realtime waterfall + keyboard tuning +
+CAT sync together (/root/reference/supersdr.py:179-1073). This module
+wires the same pieces natively: an IQ source (live KiwiSDR stream or any
+chunk iterator) feeds the TPU receiver chain(s) and a native FFT
+waterfall, while keys drive the LinkController (tune/mode/zoom/CAT) and
+the dual-RX surface (/root/reference/supersdr.py:575-639):
+
+  y        enable SUB RX (on the span center) / switch MAIN↔SUB
+  Y        disable SUB RX (transferring parameters if MAIN is the sub)
+  n        tune SUB RX to the span center
+  5 / 6    audio balance of the active (MAIN) receiver left/right
+
+Everything is injectable — IQ source, key source, audio sink, clock — so
+tests drive a full interactive session deterministically (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Iterator
+
+import numpy as np
+
+from supersdr_tpu.apps.tui import TuiModel
+from supersdr_tpu.control.links import LinkController
+from supersdr_tpu.control.panadapter import Panadapter
+from supersdr_tpu.control.receiver import Flags, Receiver
+from supersdr_tpu.ops import spectrum
+
+
+@dataclass
+class LiveTui:
+    """Interactive session driver over an IQ chunk source."""
+    rx: Receiver
+    pan: Panadapter
+    model: TuiModel
+    links: LinkController
+    nfft: int = 1024
+    rx_sub: Receiver | None = None
+    main_is_sub: bool = False   # reference main_sub_switch_flag
+    _win: np.ndarray = field(default=None, repr=False)
+
+    @classmethod
+    def create(cls, rx: Receiver, pan: Panadapter, width: int = 100,
+               wf_height: int = 18, cat=None, flags: Flags | None = None,
+               nfft: int = 1024) -> "LiveTui":
+        links = LinkController(wf=pan, rx=rx, flags=flags or Flags())
+        links.cat = cat
+        model = TuiModel(rx=rx, pan=pan, width=width, wf_height=wf_height,
+                         links=links)
+        return cls(rx=rx, pan=pan, model=model, links=links, nfft=nfft)
+
+    def __post_init__(self):
+        self._win = spectrum.spectrum_window(self.nfft)
+
+    # ------------------------------------------------------------ dual RX
+
+    def _clone_rx(self, freq_khz: float) -> Receiver:
+        r = Receiver(cfg=self.rx.cfg, center_freq_khz=self.rx.center_freq_khz,
+                     freq=freq_khz, radio_mode=self.rx.radio_mode)
+        return r
+
+    def enable_or_switch_sub(self) -> None:
+        """`y`: create the SUB RX on the span center, or swap MAIN↔SUB
+        (supersdr.py:610-633)."""
+        if self.rx_sub is None:
+            self.rx_sub = self._clone_rx(self.pan.freq_khz)
+            self.model.message = "SUB RX enabled"
+        else:
+            self.rx, self.rx_sub = self.rx_sub, self.rx
+            self.main_is_sub = not self.main_is_sub
+            self.model.rx = self.rx
+            self.links.rx = self.rx
+            self.links._push_cat()
+            self.model.message = "switch MAIN/SUB RXs"
+
+    def disable_sub(self) -> None:
+        """`Y`: drop the SUB RX; if the current MAIN is the sub session,
+        transfer its tuning back first (supersdr.py:587-609)."""
+        if self.rx_sub is None:
+            return
+        if self.main_is_sub:
+            self.rx_sub.radio_mode = self.rx.radio_mode
+            self.rx_sub.tune(self.rx.freq)
+            self.rx, self.rx_sub = self.rx_sub, self.rx
+            self.main_is_sub = False
+            self.model.rx = self.rx
+            self.links.rx = self.rx
+        self.rx_sub = None
+        self.model.message = "SUB RX disabled"
+
+    def sub_to_center(self) -> None:
+        """`n`: tune the SUB RX to the span center (supersdr.py:580-584)."""
+        if self.rx_sub is not None:
+            self.rx_sub.tune(self.pan.freq_khz)
+
+    # --------------------------------------------------------------- keys
+
+    def handle_key(self, key: str) -> bool:
+        if key == "y":
+            self.enable_or_switch_sub()
+            return True
+        if key == "Y":
+            self.disable_sub()
+            return True
+        if key == "n":
+            self.sub_to_center()
+            return True
+        if key == "5":
+            self.rx.audio_balance = max(-1.0, self.rx.audio_balance - 0.5)
+            return True
+        if key == "6":
+            self.rx.audio_balance = min(1.0, self.rx.audio_balance + 0.5)
+            return True
+        return self.model.handle_key(key)
+
+    # --------------------------------------------------------------- audio
+
+    def step(self, iq_chunk: np.ndarray) -> np.ndarray:
+        """One chunk through MAIN (+SUB) → stereo float32 [n, 2]; native
+        waterfall rows pushed to the model."""
+        audio = self.rx.process(iq_chunk)
+        out = self.rx.stereo(audio)
+        if self.rx_sub is not None:
+            out = out + self.rx_sub.stereo(self.rx_sub.process(iq_chunk))
+            out = np.clip(out, -1.0, 1.0)
+        if len(iq_chunk) >= self.nfft:
+            db = spectrum.waterfall_rows_db(
+                np.asarray(iq_chunk, np.complex64), self._win, self.nfft)
+            db = spectrum.time_binned_average(
+                db, max(1, min(self.model.averaging_n, db.shape[0])))
+            res = spectrum.autolevel(db)
+            for row in np.asarray(res.color):
+                self.model.push_row(row)
+        return out
+
+    # ----------------------------------------------------------------- run
+
+    def run(self, source: Iterator[np.ndarray],
+            keys: Callable[[], list[str]] | None = None,
+            sink: Callable[[np.ndarray], None] | None = None,
+            render: Callable[[list[str]], None] | None = None,
+            fps: float = 15.0, poll_cat_every: int = 4,
+            clock: Callable[[], float] = time.monotonic) -> None:
+        """Pump the session: IQ chunks in, stereo audio out, ANSI frames
+        rendered at ≤fps, keys applied between chunks, CAT polled
+        periodically (reference render tick, supersdr.py:883-947)."""
+        min_frame_s = 1.0 / fps if fps > 0 else 0.0
+        last_draw = -1e9
+        for i, chunk in enumerate(source):
+            for k in (keys() if keys else []):
+                if not self.handle_key(k):
+                    return
+            audio = self.step(chunk)
+            if sink is not None:
+                sink(audio)
+            if poll_cat_every and i % poll_cat_every == 0:
+                self.links.poll_cat()
+            now = clock()
+            if render is not None and now - last_draw >= min_frame_s:
+                last_draw = now
+                render(self.render_lines())
+
+    def render_lines(self) -> list[str]:
+        lines = self.model.render()
+        if self.rx_sub is not None:
+            lines.insert(1, f" SUB {self.rx_sub.freq:9.2f} kHz "
+                            f"{self.rx_sub.radio_mode:<4} "
+                            f"bal {self.rx_sub.audio_balance:+.1f}"
+                            f"{'  [MAIN=sub session]' if self.main_is_sub else ''}")
+        return lines
+
+
+def ansi_render(lines: list[str]) -> None:
+    sys.stdout.write("\x1b[2J\x1b[H" + "\n".join(lines) + "\n")
+    sys.stdout.flush()
+
+
+def stdin_keys() -> Callable[[], list[str]]:
+    """Non-blocking raw-mode key reader for a TTY (arrow-key aware)."""
+    import select
+    import termios
+    import tty
+
+    fd = sys.stdin.fileno()
+    old = termios.tcgetattr(fd)
+    tty.setcbreak(fd)
+
+    esc_map = {"[A": "UP", "[B": "DOWN", "[C": "RIGHT", "[D": "LEFT"}
+
+    def poll() -> list[str]:
+        out = []
+        while select.select([sys.stdin], [], [], 0)[0]:
+            ch = sys.stdin.read(1)
+            if ch == "\x1b":
+                seq = sys.stdin.read(2)
+                out.append(esc_map.get(seq, "ESC"))
+            else:
+                out.append(ch)
+        return out
+
+    poll.restore = lambda: termios.tcsetattr(fd, termios.TCSADRAIN, old)
+    return poll

@@ -80,7 +80,13 @@ def smeter_text(rssi_db: float, width: int = 24) -> str:
 
 @dataclass
 class TuiModel:
-    """All panadapter/receiver state + text rendering, no curses."""
+    """All panadapter/receiver state + text rendering, no curses.
+
+    When a LinkController is attached (`links`), tune/mode/zoom events
+    route through it so span-follow, auto-mode, and CAT sync behave as
+    the reference main loop (supersdr.py:826-921); standalone (links is
+    None) the model drives rx/pan directly.
+    """
     rx: Receiver
     pan: Panadapter
     width: int = 100
@@ -90,6 +96,7 @@ class TuiModel:
     history: list = field(default_factory=list)
     memories: MemoryBank = field(default_factory=MemoryBank)
     message: str = ""
+    links: object = None
 
     def push_row(self, color_row: np.ndarray) -> None:
         self.history.insert(0, np.asarray(color_row))
@@ -97,23 +104,35 @@ class TuiModel:
 
     # ------------------------------------------------------- key handling
 
+    def _tune(self, freq_khz: float) -> None:
+        if self.links is not None:
+            self.links.flags.auto_mode = self.auto_mode
+            self.links.manual_tune(freq_khz)
+        else:
+            self.rx.tune(freq_khz, auto_mode=self.auto_mode)
+            self.pan.follow(self.rx.freq)
+
     def handle_key(self, key: str) -> bool:
         """Returns False to quit."""
         rx, pan = self.rx, self.pan
         if key == "q":
             return False
         elif key in ("LEFT", "RIGHT"):
-            step = 1.0 if key == "RIGHT" else -1.0
-            rx.tune(rx.freq + step, auto_mode=self.auto_mode)
-            pan.follow(rx.freq)
+            self._tune(rx.freq + (1.0 if key == "RIGHT" else -1.0))
         elif key in ("<", ">"):
-            step = 10.0 if key == ">" else -10.0
-            rx.tune(rx.freq + step, auto_mode=self.auto_mode)
-            pan.follow(rx.freq)
+            self._tune(rx.freq + (10.0 if key == ">" else -10.0))
         elif key in ("UP", "DOWN"):
-            pan.set_freq_zoom(rx.freq, pan.zoom + (1 if key == "UP" else -1))
+            d = 1 if key == "UP" else -1
+            if self.links is not None:
+                self.links.zoom(d)
+            else:
+                pan.set_freq_zoom(rx.freq, pan.zoom + d)
         elif key in ("u", "l", "c", "a"):
-            rx.set_mode({"u": "USB", "l": "LSB", "c": "CW", "a": "AM"}[key])
+            mode = {"u": "USB", "l": "LSB", "c": "CW", "a": "AM"}[key]
+            if self.links is not None:
+                self.links.set_mode(mode)
+            else:
+                rx.set_mode(mode)
             self.message = f"mode {rx.radio_mode}"
         elif key == "x":
             self.auto_mode = not self.auto_mode
@@ -145,8 +164,9 @@ class TuiModel:
                 freq, mode, dl, dh = mem
                 rx.radio_mode = mode
                 rx.change_passband(dl, dh)
-                rx.tune(freq)
-                pan.follow(freq)
+                was_auto, self.auto_mode = self.auto_mode, False
+                self._tune(freq)
+                self.auto_mode = was_auto
                 self.message = f"recall {freq:.1f} kHz {mode}"
         elif key == " ":
             pan.set_freq_zoom(rx.freq, pan.zoom)

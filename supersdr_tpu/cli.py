@@ -85,6 +85,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also open a W/F stream and write a waterfall PNG")
     k.add_argument("--record-iq", default=None,
                    help="record the raw IQ stream to a KiwiSDR-format WAV")
+    k.add_argument("--tui", action="store_true",
+                   help="interactive terminal panadapter (live waterfall, "
+                        "keyboard tuning, dual RX, CAT sync)")
 
     tu = sub.add_parser("tui", help="terminal panadapter over a recorded "
                                     "IQ WAV (ANSI spectrum + waterfall)")

@@ -117,18 +117,27 @@ def channelize_c(plan: PFBPlan, W: jax.Array, carry: jax.Array, x: jax.Array
     M, K, hop = plan.n_chan, plan.taps_per, plan.hop
     seg = jnp.concatenate([carry, x], axis=-1)   # [..., history + n]
 
-    # frame into overlapping windows of K·M, newest sample last:
-    # frames[t, p] = x[s_t - (KM-1) + p] with s_t = t·hop + hop - 1
-    idx = (jnp.arange(n_frames)[:, None] * hop
-           + jnp.arange(plan.window_len)[None, :])
-    frames = seg[..., idx]                        # [..., n_frames, K·M]
-
     # Derivation: y[m,t] = Σ_j h[j] x[s_t-j] e^{-2πi m (s_t-j)/M}.  With
     # g[p] = h[KM-1-p] (time-reversed prototype) and p = kM + r,
     #   y[m,t] = e^{2πi m ((KM-1) - s_t)/M} · FFT_M{ fold }[m],
-    #   fold[r] = Σ_k (g·frames)[kM + r].
+    #   fold[r] = Σ_k (g·frames)[kM + r],  frames[t, p] = seg[t·hop + p].
     g = W.reshape(-1)[::-1]
-    fold = (frames * g).reshape(*frames.shape[:-1], K, M).sum(-2)
+    if hop == M:
+        # critical sampling: the overlapping-window gather collapses to K
+        # shifted row-slices of seg reshaped [n_frames+K-1, M] — a K-tap
+        # depthwise conv down the rows axis. XLA lowers the big gather to
+        # a pathological scatter/loop on TPU (measured 14.8 s vs ~10 ms
+        # for the slice form at the bench config); never gather here.
+        rows = seg.reshape(*seg.shape[:-1], n_frames + K - 1, M)
+        g2 = g.reshape(K, M)
+        fold = g2[0] * rows[..., 0:n_frames, :]
+        for k in range(1, K):
+            fold = fold + g2[k] * rows[..., k:k + n_frames, :]
+    else:
+        idx = (jnp.arange(n_frames)[:, None] * hop
+               + jnp.arange(plan.window_len)[None, :])
+        frames = seg[..., idx]                    # [..., n_frames, K·M]
+        fold = (frames * g).reshape(*frames.shape[:-1], K, M).sum(-2)
     spec = jnp.fft.fft(fold, axis=-1)             # [..., n_frames, M]
 
     # (KM-1) - s_t = history - t·hop  (mod M); for critical sampling

@@ -111,11 +111,23 @@ def overlap_save_batch_c(plan: OSPlan, H: jax.Array, head: jax.Array,
     """
     x = x.astype(jnp.complex64)
     head = head.astype(jnp.complex64)
-    flat = jnp.concatenate([head, x.reshape(*x.shape[:-2], -1)], axis=-1)
     n_blocks = x.shape[-2]
-    idx = (jnp.arange(n_blocks)[:, None] * plan.block
-           + jnp.arange(plan.seg_len)[None, :])
-    segs = flat[..., idx]                                  # [..., n_blocks, seg_len]
+    if plan.overlap <= plan.block:
+        # each block's history is the tail of its predecessor (or `head`
+        # for block 0) — pure slice/concat, no gather (XLA's TPU gather
+        # lowering is pathologically slow on big overlapping windows)
+        if plan.overlap:
+            heads = jnp.concatenate(
+                [head[..., None, :], x[..., :-1, plan.block - plan.overlap:]],
+                axis=-2)                               # [..., n_blocks, overlap]
+            segs = jnp.concatenate([heads, x], axis=-1)
+        else:
+            segs = x
+    else:
+        flat = jnp.concatenate([head, x.reshape(*x.shape[:-2], -1)], axis=-1)
+        idx = (jnp.arange(n_blocks)[:, None] * plan.block
+               + jnp.arange(plan.seg_len)[None, :])
+        segs = flat[..., idx]                          # [..., n_blocks, seg_len]
     X = jnp.fft.fft(segs, n=plan.fft_size, axis=-1)
     y_full = jnp.fft.ifft(X * H, axis=-1)
     return y_full[..., plan.overlap: plan.overlap + plan.block]

@@ -86,8 +86,11 @@ def interpolate(plan: InterpPlan, P: jax.Array, carry: jax.Array,
     """
     seg = jnp.concatenate([carry, x], axis=-1)          # [..., hist + n]
     n = x.shape[-1]
-    idx = jnp.arange(n)[:, None] + jnp.arange(plan.per)[None, :]
-    frames = seg[..., idx]                               # [..., n, per]
+    # frames[..., t, p] = seg[t + p]: `per` shifted slices stacked, NOT a
+    # gather (XLA's TPU gather lowering is pathologically slow); the
+    # polyphase product then runs as one MXU matmul
+    frames = jnp.stack([seg[..., p:p + n] for p in range(plan.per)],
+                       axis=-1)                          # [..., n, per]
     y = jnp.einsum("...np,pl->...nl", frames, P.astype(frames.dtype))
     y = y.reshape(*x.shape[:-1], n * plan.L)
     new_carry = seg[..., -plan.history:] if plan.history else seg[..., :0]

@@ -59,10 +59,14 @@ def power_spectrum_db(iq, window: jax.Array,
 
 def segment_rows(iq, nfft: int, hop: int | None = None):
     """Split a long IQ block into FFT rows. iq [..., n] → [..., rows, nfft].
-    Works on real, complex, and CX inputs (pure gather)."""
+    Works on real, complex, and CX inputs. Non-overlapping segmentation is
+    a reshape; overlapping windows fall back to a gather (slow on TPU —
+    prefer hop == nfft there)."""
     hop = hop or nfft
     n = iq.shape[-1]
     rows = (n - nfft) // hop + 1
+    if hop == nfft:
+        return iq[..., : rows * nfft].reshape(*iq.shape[:-1], rows, nfft)
     idx = jnp.arange(rows)[:, None] * hop + jnp.arange(nfft)[None, :]
     return iq[..., idx]
 

@@ -1,0 +1,151 @@
+"""Live interactive session: keyboard tuning, waterfall, dual RX — driven
+deterministically with synthetic IQ and scripted keys (the reference's
+main-loop UX, /root/reference/supersdr.py:179-1073, headless)."""
+
+import numpy as np
+import pytest
+
+from supersdr_tpu.apps.live_tui import LiveTui
+from supersdr_tpu.control.panadapter import Panadapter
+from supersdr_tpu.control.receiver import Receiver
+from supersdr_tpu.runtime import chain
+
+FS = 12000
+AGC_OFF = dict(on=False, gain=50)
+
+
+def make_session(freq=14200.0, mode="USB", chunk=2048):
+    cfg = chain.ChainConfig(mode=mode, iq_rate=FS, audio_rate=48000,
+                            chunk=chunk, os_block=chunk)
+    rx = Receiver(cfg=cfg, center_freq_khz=freq, freq=freq, radio_mode=mode)
+    rx.set_agc_params(on=False)
+    pan = Panadapter(zoom=10, freq_khz=freq)
+    return LiveTui.create(rx, pan, width=80, wf_height=8)
+
+
+def tone_iq(freq_offset_hz, n, amp=0.3):
+    t = np.arange(n) / FS
+    return (amp * np.exp(2j * np.pi * freq_offset_hz * t)).astype(np.complex64)
+
+
+def tone_snr_db(x, freq, fs):
+    n = len(x)
+    t = np.arange(n) / fs
+    basis = np.stack([np.cos(2 * np.pi * freq * t),
+                      np.sin(2 * np.pi * freq * t), np.ones(n)], axis=1)
+    coef, *_ = np.linalg.lstsq(basis, x, rcond=None)
+    fit = basis @ coef
+    return 10 * np.log10(np.mean((fit - fit.mean()) ** 2)
+                         / max(np.mean((x - fit) ** 2), 1e-30))
+
+
+def test_keys_drive_tune_mode_zoom():
+    s = make_session()
+    frames = []
+    # "x" first: disable auto-mode so the band plan doesn't override the
+    # manual LSB selection on the next tune (reference auto-mode semantics)
+    key_script = iter([["x"], ["RIGHT"], ["RIGHT"], ["l"], ["UP"], [">"],
+                       ["q"]])
+
+    def keys():
+        return next(key_script, [])
+
+    src = (tone_iq(1000, 2048) for _ in range(10))
+    s.run(src, keys=keys, render=frames.append, fps=1000.0)
+    # two +1 kHz steps, one +10 (links route; span follows), mode switched
+    assert s.rx.freq == pytest.approx(14200.0 + 1 + 1 + 10)
+    assert s.rx.radio_mode == "LSB"
+    assert s.pan.zoom == 11
+    assert frames and any("LSB" in ln for ln in frames[-1])
+    # waterfall history populated from native FFT rows
+    assert len(s.model.history) > 0
+
+
+def test_step_produces_stereo_audio_and_rssi():
+    s = make_session()
+    out = s.step(tone_iq(1000, 2048))
+    assert out.shape == (2048 * 4, 2)
+    assert np.isfinite(out).all() and np.abs(out).max() > 0.01
+    assert s.rx.rssi > -40
+
+
+def test_dual_rx_mix_and_balance():
+    """SUB RX demodulates a second station; balance separates them in the
+    stereo mix (supersdr.py:575-584 key semantics)."""
+    s = make_session(freq=14200.0)
+    # main hard left
+    s.handle_key("5")
+    s.handle_key("5")
+    assert s.rx.audio_balance == -1.0
+    # pan center to a second station 5 kHz up (outside main's passband),
+    # enable sub there
+    s.pan.set_freq_zoom(14205.0, s.pan.zoom)
+    s.handle_key("y")
+    assert s.rx_sub is not None
+    assert s.rx_sub.freq == pytest.approx(s.pan.freq_khz)
+    s.rx_sub.set_agc_params(on=False)
+    s.rx_sub.audio_balance = 1.0   # sub hard right
+
+    # capture contains both stations: +1 kHz audio on main (14200),
+    # +5 kHz carrier + 700 Hz USB tone on sub (14205) — one continuous
+    # stream sliced into chunks (phase must not restart per chunk)
+    n = 2048
+    sig = tone_iq(1000, 8 * n, 0.3) + tone_iq(5000 + 700, 8 * n, 0.3)
+    outs = [s.step(sig[i * n:(i + 1) * n]) for i in range(8)]
+    out = np.concatenate(outs[4:], axis=0)
+    left, right = out[:, 0], out[:, 1]
+    # left = main (1 kHz tone at 14201); right = sub hears 700 Hz
+    assert tone_snr_db(left, 1000.0, 48000) > 15
+    assert tone_snr_db(right, 700.0, 48000) > 15
+
+
+def test_dual_rx_switch_and_disable():
+    s = make_session(freq=14200.0)
+    s.handle_key("y")           # enable sub at span center
+    sub = s.rx_sub
+    main = s.rx
+    s.handle_key("y")           # switch MAIN<->SUB
+    assert s.rx is sub and s.rx_sub is main and s.main_is_sub
+    assert s.model.rx is sub and s.links.rx is sub
+    s.handle_key("n")           # sub (old main) to span center
+    assert s.rx_sub.freq == pytest.approx(s.pan.freq_khz)
+    sub_freq, sub_mode = s.rx.freq, s.rx.radio_mode
+    s.handle_key("Y")           # disable: transfers tuning back to main
+    assert s.rx_sub is None and not s.main_is_sub
+    assert s.rx is main
+    assert s.rx.freq == pytest.approx(sub_freq)
+    assert s.rx.radio_mode == sub_mode
+
+
+def test_kiwi_tui_against_fake_server(tmp_path):
+    """Full stack: `kiwi --tui` against the fake Kiwi, keys injected,
+    audio recorded, frames rendered."""
+    from supersdr_tpu import cli
+    from supersdr_tpu.io import wav
+    from supersdr_tpu.io.fake_kiwi import FakeKiwiConfig, FakeKiwiServer
+    import supersdr_tpu.apps.live_tui as lt
+
+    t = np.arange(512 * 64) / FS
+    iq = (0.2 * np.exp(2j * np.pi * 1000 * t)).astype(np.complex64)
+    server = FakeKiwiServer(FakeKiwiConfig(iq_source=iq, n_frames=48,
+                                           audio_rate_true=12000.0)).start()
+    out = tmp_path / "tui.wav"
+    key_script = iter([["RIGHT"], ["a"], ["LEFT"]])
+    rendered = []
+    orig = lt.ansi_render
+    lt.ansi_render = rendered.append
+    try:
+        args = cli.build_parser().parse_args(
+            ["kiwi", "-s", "127.0.0.1", "-p", str(server.port),
+             "-f", "14200", "--mode", "USB", "-o", str(out),
+             "--frames", "40", "--tui"])
+        args.inject_keys = lambda: next(key_script, [])
+        from supersdr_tpu.apps.kiwi_session import run_kiwi_tui
+        rc = run_kiwi_tui(args)
+        assert rc == 0
+    finally:
+        lt.ansi_render = orig
+        server.stop()
+    assert rendered, "TUI rendered no frames"
+    data, rate = wav.read_audio_wav(out)
+    assert rate == 48000 and len(data) > 2048
