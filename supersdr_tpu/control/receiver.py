@@ -183,7 +183,13 @@ class Receiver:
 
     def refresh_params(self) -> None:
         """Rebuild the chain parameter pytree (host-side design; the device
-        program is untouched)."""
+        program is untouched — except an NB toggle, which retraces like a
+        mode change since the blanker is compiled in statically)."""
+        if self.nb_on != self.cfg.blanker_enabled:
+            import dataclasses
+            # state shapes are blanker-independent; the stream continues
+            self.cfg = dataclasses.replace(self.cfg,
+                                           blanker_enabled=self.nb_on)
         self.params = chain.make_params(
             self.cfg, freq_offset_hz=self.freq_offset_hz,
             low_cut=self.lc, high_cut=self.hc,

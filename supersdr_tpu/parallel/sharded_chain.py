@@ -51,9 +51,10 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
     n_rows = cfg.chunk // cfg.os_block
     iqc = cx.to_complex(iq)
 
-    # 0. noise blanker (shard-local median when enabled; exact passthrough
-    #    when disabled — the default)
-    iqc = squelch_ops.apply_blanker(params.blanker, iqc)
+    # 0. noise blanker (shard-local median when enabled; statically
+    #    compiled out when disabled — the default)
+    if cfg.blanker_enabled:
+        iqc = squelch_ops.apply_blanker(params.blanker, iqc)
 
     # 1. NCO with per-time-shard phase base: shard t starts at t*N_local
     phase0 = jnp.mod(state.phase + t_idx.astype(jnp.float32)

@@ -59,6 +59,9 @@ class ChainConfig:
     hang_enabled: bool = False  # static: compile the hang sliding-max in
     agc_decimation: int = 1     # static: AGC ballistics decimation (perf)
     max_dev_hz: float = 5000.0  # NBFM deviation full-scale
+    blanker_enabled: bool = False  # static: compile the noise blanker in
+                                   # (its median = a device sort; never pay
+                                   # for it when NB is off)
 
     def __post_init__(self):
         if self.chunk % self.os_block:
@@ -218,8 +221,10 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
     n_rows = cfg.chunk // cfg.os_block
     iqc = cx.to_complex(iq)
 
-    # 0. impulse noise blanker on the raw IQ (SET nb equivalent)
-    iqc = squelch_ops.apply_blanker(params.blanker, iqc)
+    # 0. impulse noise blanker on the raw IQ (SET nb equivalent);
+    # statically gated — toggling NB retraces, like a mode change
+    if cfg.blanker_enabled:
+        iqc = squelch_ops.apply_blanker(params.blanker, iqc)
 
     # 1. tune: complex mix by -freq_offset
     phase, x = mixer.mix(params.nco, state.phase, iqc)
