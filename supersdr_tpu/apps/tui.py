@@ -97,6 +97,13 @@ class TuiModel:
     memories: MemoryBank = field(default_factory=MemoryBank)
     message: str = ""
     links: object = None
+    # overlay sources (reference plot_eibi/plot_dxcluster/plot_beacons,
+    # utils:1693-1804): lazy EIBI DB, optional dxcluster with
+    # get_stations()/spot(), beacon markers ride with EIBI
+    show_eibi: bool = False
+    show_dx: bool = False
+    eibi: object = None
+    dx: object = None
 
     def push_row(self, color_row: np.ndarray) -> None:
         self.history.insert(0, np.asarray(color_row))
@@ -170,6 +177,15 @@ class TuiModel:
                 self.message = f"recall {freq:.1f} kHz {mode}"
         elif key == " ":
             pan.set_freq_zoom(rx.freq, pan.zoom)
+        elif key == "i":
+            self.show_eibi = not self.show_eibi
+            if self.show_eibi and self.eibi is None:
+                from supersdr_tpu.control.eibi import EibiDb
+                self.eibi = EibiDb()
+            self.message = f"EIBI {'on' if self.show_eibi else 'off'}"
+        elif key == "d":
+            self.show_dx = not self.show_dx
+            self.message = f"DX cluster {'on' if self.show_dx else 'off'}"
         return True
 
     # ---------------------------------------------------------- rendering
@@ -188,8 +204,50 @@ class TuiModel:
                 f"zoom {pan.zoom:2d}  ({pan.span_khz:.1f} kHz)"
                 f"   {self.message}")
 
+    def _col(self, f_khz: float) -> int:
+        pan = self.pan
+        return int((f_khz - pan.start_f_khz) / pan.span_khz * self.width)
+
+    def overlay_lines(self) -> list[str]:
+        """Station/spot/beacon markers across the span + a short legend
+        (reference plot_eibi/plot_dxcluster/plot_beacons semantics:
+        utils:1693-1730,1755-1786,1787-1804)."""
+        pan = self.pan
+        marks = [" "] * self.width
+        legend: list[str] = []
+        if self.show_eibi and self.eibi is not None:
+            freqs = self.eibi.get_stations(pan.start_f_khz, pan.end_f_khz)
+            center = pan.freq_khz
+            for f in sorted(freqs, key=lambda f: abs(f - center)):
+                c = self._col(f)
+                if 0 <= c < self.width:
+                    marks[c] = "▼"
+                    if len(legend) < 3:
+                        names = self.eibi.get_names(f)
+                        if names:
+                            legend.append(f"{f:.0f} {names[0][:18]}")
+            from supersdr_tpu.control import beacons as bcn
+            for band, call in bcn.which_beacons().items():
+                f = bcn.FREQ_KHZ[band]
+                c = self._col(f)
+                if 0 <= c < self.width:
+                    marks[c] = "◆"
+                    if len(legend) < 4:
+                        legend.append(f"{f} bcn {call}")
+        if self.show_dx and self.dx is not None:
+            for f in self.dx.get_stations(pan.start_f_khz, pan.end_f_khz):
+                c = self._col(f)
+                if 0 <= c < self.width:
+                    marks[c] = "x"
+        out = ["".join(marks)]
+        if legend:
+            out.append(" " + " | ".join(legend))
+        return out
+
     def render(self) -> list[str]:
         lines = [self.status_line(), self.span_line()]
+        if self.show_eibi or self.show_dx:
+            lines.extend(self.overlay_lines())
         if self.history:
             lines.append(spectrum_row_text(
                 np.mean(self.history[:min(15, len(self.history))], axis=0),

@@ -62,6 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     w.add_argument("--avg", type=int, default=1,
                    help="LINRAD-style time binning factor (1-100)")
     w.add_argument("-m", "--colormap", default="cutesdr")
+    w.add_argument("-f", "--freq", type=float, default=None,
+                   help="capture center in kHz: enables EIBI/beacon "
+                        "station markers on the span")
+    w.add_argument("--no-eibi", action="store_true",
+                   help="suppress station markers even when --freq given")
 
     wb = sub.add_parser("wideband", help="channelize a wideband capture")
     wb.add_argument("input")
@@ -149,7 +154,22 @@ def cmd_waterfall(args) -> int:
     db = spectrum.time_binned_average(db, max(1, args.avg))
     res = spectrum.autolevel(db)
     color = np.asarray(res.color)[::-1]  # newest row on top
-    img = render.render_panadapter(color, palette_name=args.colormap)
+    markers = None
+    if args.freq is not None and not args.no_eibi:
+        fs = int(round(1.0 / np.median(np.diff(t[:10000]))))
+        span_khz = fs / 1000.0
+        start = args.freq - span_khz / 2
+        from supersdr_tpu.control import beacons as bcn
+        from supersdr_tpu.control.eibi import EibiDb
+        from supersdr_tpu.display.render import BEACON_MARKER, EIBI_MARKER
+        eibi = EibiDb()
+        to_bin = lambda f: int((f - start) / span_khz * args.nfft)
+        markers = [(to_bin(f), EIBI_MARKER)
+                   for f in eibi.get_stations(start, start + span_khz)]
+        markers += [(to_bin(bcn.FREQ_KHZ[b]), BEACON_MARKER)
+                    for b in bcn.which_beacons()]
+    img = render.render_panadapter(color, palette_name=args.colormap,
+                                   markers=markers)
     png.write_png(args.output, img)
     print(f"wrote {args.output}: {color.shape[0]} rows x {args.nfft} bins, "
           f"dB window [{float(np.median(res.low_db)):.1f}, "

@@ -12,15 +12,28 @@ from datetime import datetime, timezone
 from pathlib import Path
 
 
+DEFAULT_EIBI_PATH = Path(__file__).parent.parent / "data" / "eibi.csv"
+
+
 class EibiDb:
-    def __init__(self, path: str | Path = "eibi.csv"):
+    def __init__(self, path: str | Path | None = None):
+        """Load `eibi.csv`; with no path, try ./eibi.csv then the copy
+        shipped in supersdr_tpu/data/ (public EIBI schedule data, as the
+        reference ships it in its repo root)."""
         self.station_dict: dict[float, list[list[str]]] = defaultdict(list)
         self.int_freq_dict: dict[int, list[float]] = defaultdict(list)
         self.visible_stations: list[float] = []
         self.loaded = False
-        try:
-            data = Path(path).read_text(encoding="latin-1").splitlines()
-        except OSError:
+        candidates = ([Path(path)] if path is not None
+                      else [Path("eibi.csv"), DEFAULT_EIBI_PATH])
+        data = None
+        for p in candidates:
+            try:
+                data = p.read_text(encoding="latin-1").splitlines()
+                break
+            except OSError:
+                continue
+        if data is None:
             return
         for line in data[1:]:
             els = line.rstrip().split(";")

@@ -63,10 +63,21 @@ def render_smeter(rssi_db: float, width: int = 256, height: int = 24
     return img
 
 
+EIBI_MARKER = (80, 220, 80)      # reference station labels, utils:1693-1729
+DX_MARKER = (80, 200, 220)       # dx-cluster spots, utils:1755-1786
+BEACON_MARKER = (255, 160, 0)    # NCDXF beacons, utils:1787-1804
+
+
 def render_panadapter(color_history: np.ndarray, spectrum_height: int = 150,
                       palette_name: str = "cutesdr",
-                      tick_bins: list[int] | None = None) -> np.ndarray:
-    """Full headless panadapter frame: scope on top, tick bar, waterfall."""
+                      tick_bins: list[int] | None = None,
+                      markers: list[tuple[int, tuple[int, int, int]]]
+                      | None = None) -> np.ndarray:
+    """Full headless panadapter frame: scope on top, tick bar, waterfall.
+
+    `markers`: (bin, rgb) station/spot/beacon positions drawn as wider
+    stubs on the tick bar (the headless analog of the reference's overlay
+    labels, utils:1693-1804)."""
     wf = render_waterfall(color_history, palette_name)
     spec = render_spectrum(color_history, height=spectrum_height)
     bins = wf.shape[1]
@@ -76,4 +87,8 @@ def render_panadapter(color_history: np.ndarray, spectrum_height: int = 150,
         for b in tick_bins:
             if 0 <= b < bins:
                 bar[:, b] = (255, 255, 255)
+    if markers:
+        for b, rgb in markers:
+            if 0 <= b < bins:
+                bar[2:, max(0, b - 1): b + 2] = rgb
     return np.concatenate([spec, bar, wf], axis=0)

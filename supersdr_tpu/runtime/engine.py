@@ -66,8 +66,19 @@ class StreamEngine:
         self.status = "idle"
         self.dropped_frames = 0
         self.reconnects = 0
+        self.switch_failures = 0
         self._thread: threading.Thread | None = None
         self._wake = threading.Event()
+        self._pending_factory: Callable[[], Iterator[np.ndarray]] | None = None
+
+    def switch_source(self, factory: Callable[[], Iterator[np.ndarray]]
+                      ) -> None:
+        """Interactive server switching: swap in a new source factory; if
+        connecting to it fails, automatically revert to the previous one
+        (reference supersdr.py:743-796 semantics). Takes effect at the
+        next block boundary."""
+        self._pending_factory = factory
+        self._wake.set()
 
     # ------------------------------------------------------------ control
 
@@ -91,14 +102,26 @@ class StreamEngine:
         retries = self.cfg.connect_retries
         start_time = time.monotonic()
         while not self.terminate:
+            switching_from = None
+            if self._pending_factory is not None:
+                switching_from = self.source_factory
+                self.source_factory = self._pending_factory
+                self._pending_factory = None
+                self._wake.clear()
             try:
                 source = self.source_factory()
             except SourceBusy:
+                if switching_from is not None:
+                    self._revert(switching_from)
+                    continue
                 self.status = "busy"
                 self.reconnects += 1
                 self._sleep(self.cfg.backoff_busy_s)
                 continue
             except (SourceClosed, OSError):
+                if switching_from is not None:
+                    self._revert(switching_from)
+                    continue
                 self.status = "connect-failed"
                 retries -= 1
                 if self.cfg.connect_retries > 0 and retries <= 0:
@@ -108,6 +131,8 @@ class StreamEngine:
             self.status = "streaming"
             try:
                 self._pump(source)
+                if self._pending_factory is not None:
+                    continue  # switch requested: reconnect immediately
                 break  # source exhausted cleanly
             except SourceBusy:
                 self.status = "busy"
@@ -122,9 +147,16 @@ class StreamEngine:
                 break
         self.status = "stopped"
 
+    def _revert(self, previous: Callable[[], Iterator[np.ndarray]]) -> None:
+        """Failed switch: fall back to the previous server
+        (supersdr.py:779-796)."""
+        self.source_factory = previous
+        self.switch_failures += 1
+        self.status = "switch-failed-reverted"
+
     def _pump(self, source: Iterator[np.ndarray]) -> None:
         for block in source:
-            if self.terminate:
+            if self.terminate or self._pending_factory is not None:
                 return
             if self.drift is not None and self.drift.tick():
                 # consume one extra block to absorb clock drift

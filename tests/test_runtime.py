@@ -147,3 +147,62 @@ def test_engine_drift_double_read():
     # 10% drift → roughly every 10th block skipped
     assert n_buffered < 40
     assert 30 <= n_buffered <= 38
+
+
+def _block_source(tag, n_blocks=1000):
+    def factory():
+        def gen():
+            for i in range(n_blocks):
+                yield np.full(4, tag, np.float32)
+        return gen()
+    return factory
+
+
+def test_engine_switch_source_success():
+    """Interactive server switching: blocks from the new source appear
+    after switch_source (supersdr.py:743-778)."""
+    eng = StreamEngine(_block_source(1.0), process=lambda b: b,
+                       config=EngineConfig(buffer_frames=4,
+                                           connect_retries=1))
+    eng.start()
+    first = eng.pop_audio(timeout=2.0)
+    assert first is not None and first[0] == 1.0
+    eng.switch_source(_block_source(2.0))
+    seen = set()
+    for _ in range(40):
+        f = eng.pop_audio(timeout=2.0)
+        if f is None:
+            break
+        seen.add(float(f[0]))
+        if 2.0 in seen:
+            break
+    eng.stop()
+    assert 2.0 in seen
+    assert eng.switch_failures == 0
+
+
+def test_engine_switch_source_failure_reverts():
+    """A switch to an unreachable server reverts to the previous one
+    (supersdr.py:779-796)."""
+    def bad_factory():
+        raise SourceClosed()
+
+    eng = StreamEngine(_block_source(1.0), process=lambda b: b,
+                       config=EngineConfig(buffer_frames=4,
+                                           connect_retries=1))
+    eng.start()
+    assert eng.pop_audio(timeout=2.0) is not None
+    eng.switch_source(bad_factory)
+    got = []
+    for _ in range(40):
+        f = eng.pop_audio(timeout=2.0)
+        if f is None:
+            break
+        got.append(float(f[0]))
+        if eng.switch_failures:
+            break
+    # drain a few more frames — they must come from the old source
+    tail = [eng.pop_audio(timeout=2.0) for _ in range(5)]
+    eng.stop()
+    assert eng.switch_failures == 1
+    assert all(f is None or f[0] == 1.0 for f in tail)

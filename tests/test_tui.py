@@ -78,3 +78,37 @@ def test_smeter_text():
     assert "S9" in s9
     weak = tui.smeter_text(-121.0)
     assert "S1" in weak
+
+
+def test_eibi_overlay_lines():
+    """'i' toggles EIBI overlay; markers and legend appear for stations
+    inside the span (shipped data file, utils:1693-1729 behavior)."""
+    from supersdr_tpu.apps.tui import TuiModel
+    from supersdr_tpu.control.panadapter import Panadapter
+    from supersdr_tpu.control.receiver import Receiver
+    from supersdr_tpu.runtime import chain
+
+    cfg = chain.ChainConfig(mode="AM", chunk=2048, os_block=2048)
+    rx = Receiver(cfg=cfg, center_freq_khz=6000.0, freq=6000.0,
+                  radio_mode="AM")
+    pan = Panadapter(zoom=5, freq_khz=6000.0)  # ~937 kHz span: 49/41m bands
+    m = TuiModel(rx=rx, pan=pan, width=100, wf_height=4)
+    assert m.handle_key("i")
+    assert m.show_eibi and m.eibi is not None and m.eibi.loaded
+    lines = m.overlay_lines()
+    assert len(lines) >= 1 and "▼" in lines[0]
+    assert len(lines) == 2 and "|" in lines[1] or len(lines[1]) > 0
+    # render includes the overlay rows
+    assert any("▼" in ln for ln in m.render())
+    # toggle off
+    m.handle_key("i")
+    assert not m.show_eibi
+
+
+def test_eibi_ships_with_package():
+    from supersdr_tpu.control.eibi import DEFAULT_EIBI_PATH, EibiDb
+    assert DEFAULT_EIBI_PATH.exists()
+    db = EibiDb()
+    assert db.loaded
+    # the 49m broadcast band is dense with schedule entries
+    assert len(db.get_stations(5900, 6200)) > 50
