@@ -8,7 +8,14 @@ Measures, on the attached TPU chip:
      calibration + percentile auto-leveling + 10x LINRAD averaging
      (the reference's server caps this at 23 rows/s — BASELINE.md)
   4. single-receiver per-block latency p50/p95 at the reference's frame
-     unit (512 IQ samples), dispatch→audio-ready round trip
+     unit (512 IQ samples), dispatch→audio-fetched round trip
+
+Methodology (bench.py applies the same rules): split-complex boundaries
+only — complex64 never crosses a program boundary; and every timing is
+fetch-forced, because `block_until_ready` can return before execution
+finishes on the tunneled runtime (round-1 post-mortem, VERDICT.md). All
+results carry the fetched checksum so aborted executions cannot be
+timed silently.
 
 Prints one JSON line per metric. `python benchmarks/bench_suite.py`.
 """
@@ -20,122 +27,121 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_REPO, ".jax_cache"))
 
 
-def _timeit_chain(fn, state, iters):
-    """Time fn(state)->state chained through its carry, amortized."""
-    st = fn(state)  # warm (already compiled by caller)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        st = fn(st)
-    import jax
-    jax.block_until_ready(st)
-    return (time.perf_counter() - t0) / iters
+def _fetch_stat(x) -> float:
+    """Force completion by fetching a device-side reduction (the ONLY
+    reliable completion barrier on this runtime)."""
+    import jax.numpy as jnp
+    v = float(jnp.mean(jnp.abs(x)))
+    assert np.isfinite(v) and v > 0, f"aborted or degenerate output: {v}"
+    return v
 
 
 def bench_wideband():
-    import jax
-    import jax.numpy as jnp
-    from functools import partial
-
+    from supersdr_tpu.ops import cx
     from supersdr_tpu.runtime import wideband
 
     cfg = wideband.WidebandConfig(fs_in=30_720_000, n_chan=2560,
-                                  chunk_in=30_720_000, mode="AM",
+                                  chunk_in=2560 * (16384 - 256), mode="AM",
                                   taps_per=8, n_taps=257, audio_rate=48_000)
     params = wideband.make_params(cfg)
     state = wideband.init_state(cfg)
     rng = np.random.default_rng(0)
-    iq = jnp.asarray((rng.normal(size=(4, cfg.chunk_in))
-                      + 1j * rng.normal(size=(4, cfg.chunk_in))) * 0.05,
-                     jnp.complex64)
-    step = jax.jit(partial(wideband.process_many, cfg))
-    st, audio = step(params, state, iq)
-    audio.block_until_ready()
+    n_scan = 2
+    iq = cx.as_cx(((rng.normal(size=(n_scan, cfg.chunk_in))
+                    + 1j * rng.normal(size=(n_scan, cfg.chunk_in))) * 0.05
+                   ).astype(np.complex64))
+    st, audio = wideband.process_many(cfg, params, state, iq)
+    _fetch_stat(audio)
 
-    def fn(st):
-        st2, _ = step(params, st, iq)
-        return st2
-
-    dt = _timeit_chain(fn, st, 10)
-    msps = 4 * cfg.chunk_in / dt / 1e6
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, audio = wideband.process_many(cfg, params, st, iq)
+    stat = _fetch_stat(audio)
+    dt = (time.perf_counter() - t0) / iters
+    msps = n_scan * cfg.chunk_in / dt / 1e6
     return {"metric": "wideband_iq_to_audio_throughput",
             "value": round(msps, 1), "unit": "Msamples/s/chip",
-            "vs_baseline": round(msps / 500.0, 2)}
+            "vs_baseline": round(msps / 500.0, 2),
+            "checksum": round(stat, 6)}
 
 
 def bench_chain_only():
-    import jax
-    import jax.numpy as jnp
-
+    from supersdr_tpu.ops import cx
     from supersdr_tpu.runtime import chain
 
-    n_rx, chunk = 2560, 12000
+    n_rx, chunk = 2560, 16128
     cfg = chain.ChainConfig(mode="AM", iq_rate=12000, audio_rate=48000,
                             chunk=chunk, os_block=chunk, n_taps=257)
     params = chain.make_params(cfg, freq_offset_hz=np.zeros(n_rx))
     state = chain.init_state(cfg, (n_rx,))
     rng = np.random.default_rng(1)
-    iq = jnp.asarray((rng.normal(size=(n_rx, chunk))
-                      + 1j * rng.normal(size=(n_rx, chunk))) * 0.05,
-                     jnp.complex64)
+    iq = cx.as_cx(((rng.normal(size=(n_rx, chunk))
+                    + 1j * rng.normal(size=(n_rx, chunk))) * 0.05
+                   ).astype(np.complex64))
     st, out = chain.process(cfg, params, state, iq)
-    out.audio.block_until_ready()
+    _fetch_stat(out.audio)
 
-    def fn(st):
-        st2, _ = chain.process(cfg, params, st, iq)
-        return st2
-
-    dt = _timeit_chain(fn, st, 20)
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        st, out = chain.process(cfg, params, st, iq)
+    stat = _fetch_stat(out.audio)
+    dt = (time.perf_counter() - t0) / iters
     msps = n_rx * chunk / dt / 1e6
     return {"metric": "chain_only_throughput_2560rx",
             "value": round(msps, 1), "unit": "Msamples/s/chip",
-            "vs_baseline": round(msps / 500.0, 2)}
+            "vs_baseline": round(msps / 500.0, 2),
+            "checksum": round(stat, 6)}
 
 
 def bench_waterfall():
     """1024-bin waterfall rows/s: FFT + dB + autolevel + 10x averaging."""
     import jax
-    import jax.numpy as jnp
 
-    from supersdr_tpu.ops import spectrum
+    from supersdr_tpu.ops import cx, spectrum
 
     nfft, rows_per_call, n_avg = 1024, 4096, 10
     win = spectrum.spectrum_window(nfft)
     rng = np.random.default_rng(2)
-    iq = jnp.asarray((rng.normal(size=(rows_per_call * nfft,))
-                      + 1j * rng.normal(size=(rows_per_call * nfft,))) * 0.1,
-                     jnp.complex64)
+    iq = cx.as_cx(((rng.normal(size=(rows_per_call * nfft,))
+                    + 1j * rng.normal(size=(rows_per_call * nfft,))) * 0.1
+                   ).astype(np.complex64))
 
     @jax.jit
     def wf(iq):
-        rows = spectrum.segment_rows(iq, nfft)
+        rows = spectrum.segment_rows(cx.to_complex(iq), nfft)
         db = spectrum.power_spectrum_db(rows, win)
         db = spectrum.time_binned_average(db, n_avg)
-        lv = spectrum.autolevel(db)
-        return lv
+        return spectrum.autolevel(db)
 
-    out = wf(iq)
-    jax.block_until_ready(out)
+    lv = wf(iq)
+    _fetch_stat(lv.color)
     iters = 50
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = wf(iq)
-    jax.block_until_ready(out)
+        lv = wf(iq)
+    stat = _fetch_stat(lv.color)
     dt = (time.perf_counter() - t0) / iters
     rows_s = rows_per_call / dt
     # reference server cap: 23 rows/s (BASELINE.md)
     return {"metric": "waterfall_1024bin_rows_per_s",
             "value": round(rows_s, 1), "unit": "rows/s/chip",
-            "vs_baseline": round(rows_s / 23.0, 1)}
+            "vs_baseline": round(rows_s / 23.0, 1),
+            "checksum": round(stat, 3)}
 
 
 def bench_block_latency():
-    """Reference frame unit: one receiver, 512-sample block round trip."""
-    import jax
-    import jax.numpy as jnp
-
+    """Reference frame unit: one receiver, 512-sample block; the latency
+    includes fetching the audio to the host (an honest dispatch→
+    audio-in-hand round trip over the tunnel)."""
+    from supersdr_tpu.ops import cx
     from supersdr_tpu.runtime import chain
 
     cfg = chain.ChainConfig(mode="USB", iq_rate=12000, audio_rate=48000,
@@ -143,15 +149,16 @@ def bench_block_latency():
     params = chain.make_params(cfg)
     state = chain.init_state(cfg, ())
     rng = np.random.default_rng(3)
-    iq = jnp.asarray((rng.normal(size=512) + 1j * rng.normal(size=512)) * 0.1,
-                     jnp.complex64)
+    iq = cx.as_cx(((rng.normal(size=512) + 1j * rng.normal(size=512)) * 0.1
+                   ).astype(np.complex64))
     st, out = chain.process(cfg, params, state, iq)
-    out.audio.block_until_ready()
+    audio = np.asarray(out.audio)
+    assert np.isfinite(audio).all()
     lats = []
     for _ in range(50):
         t0 = time.perf_counter()
         st, out = chain.process(cfg, params, st, iq)
-        out.audio.block_until_ready()
+        np.asarray(out.audio)          # fetch = the completion barrier
         lats.append(time.perf_counter() - t0)
     lats = np.sort(np.asarray(lats)) * 1e6
     return {"metric": "single_rx_512blk_latency_p50",
@@ -161,6 +168,13 @@ def bench_block_latency():
 
 
 def main():
+    try:
+        import jax
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_REPO, ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
     for fn in (bench_wideband, bench_chain_only, bench_waterfall,
                bench_block_latency):
         print(json.dumps(fn()), flush=True)

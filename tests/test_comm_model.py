@@ -1,0 +1,82 @@
+"""Scaling-efficiency evidence (BASELINE.md ≥80 % north star): the
+collective volume of the sharded programs, measured from their compiled
+HLO, must be tiny and independent of the local chunk length — the
+structural property that bounds scaling loss."""
+
+import numpy as np
+import pytest
+
+from supersdr_tpu.ops import cx
+from supersdr_tpu.parallel import comm_model, mesh as mesh_mod
+from supersdr_tpu.parallel import sharded_chain, sharded_wideband
+from supersdr_tpu.runtime import chain, wideband
+
+
+def _inner_jit(proc):
+    return next(c.cell_contents for c in proc.__closure__
+                if hasattr(c.cell_contents, "lower"))
+
+
+def _chain_hlo(chunk: int):
+    m = mesh_mod.time_mesh()
+    cfg = chain.ChainConfig(mode="AM", chunk=chunk, os_block=chunk)
+    proc = sharded_chain.build(cfg, m)
+    p = sharded_chain.make_params(cfg, n_chan=1)
+    s = sharded_chain.init_state(cfg, 1)
+    iq = cx.as_cx(np.zeros((1, chunk * 8), np.complex64))
+    txt = comm_model.lower_hlo(_inner_jit(proc), p, s, iq)
+    return cfg, comm_model.collective_bytes_from_hlo(txt)
+
+
+def test_chain_collectives_independent_of_chunk():
+    cfg_a, stats_a = _chain_hlo(1024)
+    cfg_b, stats_b = _chain_hlo(16384)
+    # the collective footprint must not scale with the local chunk —
+    # THE structural scaling property (compute grows, comm doesn't)
+    assert stats_a.total_bytes == stats_b.total_bytes
+    # and shrinks relative to the local data as chunks grow
+    assert stats_b.total_bytes < 0.15 * (16384 * 8)
+    assert stats_b.counts.get("collective-permute", 0) > 0
+    assert stats_b.counts.get("all-gather", 0) > 0
+
+
+def test_chain_model_vs_hlo():
+    cfg, stats = _chain_hlo(2048)
+    model = comm_model.chain_comm_model(cfg, n_time=8, n_chan_local=1)
+    # the model captures the dominant terms; XLA adds small bookkeeping
+    # collectives (flag broadcasts) — require same order of magnitude
+    assert model["total_bytes"] <= stats.total_bytes * 3
+    assert stats.total_bytes <= model["total_bytes"] * 6
+
+
+def test_wideband_all_to_all_dominates_and_matches():
+    d = 8
+    cfg = wideband.WidebandConfig(fs_in=96_000, n_chan=8,
+                                  chunk_in=8 * 8 * 512, mode="AM",
+                                  taps_per=8, n_taps=129)
+    m = sharded_wideband.make_mesh()
+    proc = sharded_wideband.build(cfg, m)
+    p = wideband.make_params(cfg)
+    s = wideband.init_state(cfg)
+    iq = cx.as_cx(np.zeros(cfg.chunk_in, np.complex64))
+    txt = comm_model.lower_hlo(_inner_jit(proc), p, s, iq)
+    stats = comm_model.collective_bytes_from_hlo(txt)
+    model = comm_model.wideband_comm_model(cfg, d)
+    assert stats.counts.get("all-to-all", 0) >= 1
+    # reshard volume is the dominant modeled term and bounded by ~2x of
+    # the full chans buffer
+    assert model["all_to_all_bytes"] <= model["total_bytes"]
+    assert stats.total_bytes <= 4 * (model["total_bytes"]
+                                     + cfg.chunk_in // d * 8)
+
+
+def test_projected_efficiency_exceeds_north_star():
+    """At the bench config, the projected multi-chip efficiency from the
+    measured collective volume clears the ≥80 % BASELINE.md target with
+    a large margin."""
+    cfg = chain.ChainConfig(mode="AM", chunk=16128, os_block=16128,
+                            n_taps=257)
+    model = comm_model.chain_comm_model(cfg, n_time=8, n_chan_local=2560)
+    # measured single-chip step: ~122 ms per 41.3 Msample chunk (bench)
+    eff = comm_model.scaling_efficiency(0.122, model["total_bytes"])
+    assert eff > 0.95
