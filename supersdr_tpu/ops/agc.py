@@ -108,11 +108,16 @@ def apply(params: AGCParams, state: AGCState, audio: jax.Array,
             hang_window = max(1, hang_window // decimation)
     env_db = 20.0 * jnp.log10(jnp.maximum(env, ENV_FLOOR))
 
-    # peak tracking: y[n] = max(y[n-1] - d, env_db[n])  (max-plus scan)
-    d = jnp.broadcast_to(-params.decay_per_sample_db * decimation,
-                         env_db.shape)
-    peak_db = scans.maxplus_scan(d, env_db, state.peak_db,
-                                 axis_name=axis_name)
+    # peak tracking: y[n] = max(y[n-1] - d, env_db[n])  (max-plus scan);
+    # the decay is time-constant, so off-mesh the scan collapses to one
+    # cumulative max (scans.maxplus_scan_const)
+    d_scalar = -params.decay_per_sample_db * decimation
+    if axis_name is None and jnp.ndim(d_scalar) == 0:
+        peak_db = scans.maxplus_scan_const(d_scalar, env_db, state.peak_db)
+    else:
+        d = jnp.broadcast_to(d_scalar, env_db.shape)
+        peak_db = scans.maxplus_scan(d, env_db, state.peak_db,
+                                     axis_name=axis_name)
     if hang_window > 1:
         held = scans.sliding_max(peak_db, hang_window, axis_name=axis_name)
         peak_db = jnp.where(params.hang > 0, held, peak_db)
@@ -125,11 +130,16 @@ def apply(params: AGCParams, state: AGCState, audio: jax.Array,
     manual_gain = params.man_gain_db - MANUAL_UNITY_DB
     gain_db = jnp.where(params.on > 0, auto_gain, manual_gain)
 
-    # attack smoothing (one-pole, parallel linear scan)
+    # attack smoothing (one-pole; time-constant coefficient → blocked
+    # Toeplitz-matmul scan off-mesh, general two-level scan on-mesh)
     attack = params.attack_coeff ** decimation
-    a = jnp.broadcast_to(attack, gain_db.shape)
-    gain_db = scans.linear_scan(a, (1.0 - attack) * gain_db,
-                                state.gain_db, axis_name=axis_name)
+    if axis_name is None and jnp.ndim(attack) == 0:
+        gain_db = scans.linear_scan_const(attack, (1.0 - attack) * gain_db,
+                                          state.gain_db)
+    else:
+        a = jnp.broadcast_to(attack, gain_db.shape)
+        gain_db = scans.linear_scan(a, (1.0 - attack) * gain_db,
+                                    state.gain_db, axis_name=axis_name)
 
     new_state = AGCState(peak_db=peak_db[..., -1], gain_db=gain_db[..., -1])
     if decimation > 1:

@@ -63,9 +63,7 @@ def linear_scan(a: jax.Array, b: jax.Array, y0, axis: int = -1,
         return a_r * a_l, a_r * b_l + b_r
 
     a_s, b_s = jax.lax.associative_scan(combine, (a, b), axis=axis)
-    y0 = jnp.asarray(y0, dtype=b.dtype)
-    if y0.ndim < b.ndim:
-        y0 = jnp.expand_dims(y0, axis=axis if axis >= 0 else b.ndim + axis)
+    y0 = _align_y0(y0, b, axis)
     if axis_name is not None:
         ax = axis if axis >= 0 else b.ndim + axis
         idx = tuple(slice(None) if d != ax else slice(-1, None)
@@ -77,6 +75,19 @@ def linear_scan(a: jax.Array, b: jax.Array, y0, axis: int = -1,
                                     lambda y, sa, sb: sa * y + sb)
     # y[n] = A[0..n] * y_in + B[0..n]
     return a_s * y0 + b_s
+
+
+def _align_y0(y0, b: jax.Array, axis: int) -> jax.Array:
+    """Shape y0 (scalar or [*batch]) to broadcast against b with a
+    singleton scan axis."""
+    y0 = jnp.asarray(y0, dtype=b.dtype)
+    ax = axis if axis >= 0 else b.ndim + axis
+    if y0.ndim == b.ndim:
+        return y0
+    if y0.ndim == 0:
+        return jnp.reshape(y0, (1,) * b.ndim)
+    # y0 carries the batch dims: insert the scan axis as a singleton
+    return jnp.expand_dims(y0, axis=ax)
 
 
 def maxplus_scan(a: jax.Array, b: jax.Array, y0, axis: int = -1,
@@ -97,9 +108,7 @@ def maxplus_scan(a: jax.Array, b: jax.Array, y0, axis: int = -1,
         return a_l + a_r, jnp.maximum(b_l + a_r, b_r)
 
     a_s, b_s = jax.lax.associative_scan(combine, (a, b), axis=axis)
-    y0 = jnp.asarray(y0, dtype=b.dtype)
-    if y0.ndim < b.ndim:
-        y0 = jnp.expand_dims(y0, axis=axis if axis >= 0 else b.ndim + axis)
+    y0 = _align_y0(y0, b, axis)
     if axis_name is not None:
         ax = axis if axis >= 0 else b.ndim + axis
         idx = tuple(slice(None) if d != ax else slice(-1, None)
@@ -111,6 +120,59 @@ def maxplus_scan(a: jax.Array, b: jax.Array, y0, axis: int = -1,
             sum_a, sum_b, y0, my,
             lambda y, sa, sb: jnp.maximum(y + sa, sb))
     return jnp.maximum(a_s + y0, b_s)
+
+
+def linear_scan_const(a, b: jax.Array, y0, block: int = 128) -> jax.Array:
+    """`linear_scan` specialized to a time-CONSTANT coefficient `a`
+    (scalar or [*batch, 1]-broadcastable): y[n] = a·y[n-1] + b[n].
+
+    Blocked formulation: within a block of S samples the scan is a lower-
+    triangular Toeplitz matmul w = B @ Tᵀ with T[i,j] = a^(i-j) (i ≥ j) —
+    MXU work instead of log₂(n) full-array passes; the S× fewer block
+    carries chain through a tiny associative scan. ~3 HBM passes total
+    versus ~log₂(n) for the general scan. Exponents stay ≤ 0 so no
+    overflow for |a| ≤ 1 (the one-pole case).
+    """
+    b = jnp.asarray(b)
+    n = b.shape[-1]
+    if n % block:
+        return linear_scan(jnp.broadcast_to(jnp.asarray(a, b.dtype),
+                                            b.shape), b, y0)
+    a = jnp.asarray(a, b.dtype)
+    nb = n // block
+    i = jnp.arange(block)
+    expo = i[:, None] - i[None, :]
+    T = jnp.where(expo >= 0,
+                  a ** jnp.maximum(expo, 0).astype(b.dtype), 0.0)  # [S, S]
+    blocks = b.reshape(*b.shape[:-1], nb, block)
+    w = jnp.einsum("...ns,ts->...nt", blocks, T,
+                   preferred_element_type=b.dtype)             # [.., nb, S]
+    # carries: c[k] = a^S·c[k-1] + w_end[k]
+    w_end = w[..., -1]
+    aS = jnp.broadcast_to(a ** block, w_end.shape)
+    c = linear_scan(aS, w_end, y0, axis=-1)                    # [.., nb]
+    y0b = _align_y0(y0, c, -1)
+    c_prev = jnp.concatenate(
+        [jnp.broadcast_to(y0b, c[..., :1].shape), c[..., :-1]], axis=-1)
+    y = w + (a ** (i + 1)) * c_prev[..., None]
+    return y.reshape(*b.shape[:-1], n)
+
+
+def maxplus_scan_const(a, b: jax.Array, y0) -> jax.Array:
+    """`maxplus_scan` specialized to a time-CONSTANT decrement `a`:
+    y[n] = max(y[n-1] + a, b[n]).  With s[j] = b[j] − j·a this collapses
+    to y[n] = n·a + max(cummax(s)[n], y0 + a) — one cumulative max over a
+    single array instead of an associative scan over (a, b) pairs."""
+    b = jnp.asarray(b)
+    n = b.shape[-1]
+    j = jnp.arange(n, dtype=b.dtype)
+    a = jnp.asarray(a, b.dtype)
+    s = b - j * a
+    cm = jax.lax.cummax(s, axis=b.ndim - 1)
+    y0b = jnp.asarray(y0, b.dtype)
+    if y0b.ndim < b.ndim:
+        y0b = y0b[..., None]
+    return j * a + jnp.maximum(cm, y0b + a)
 
 
 def one_pole(x: jax.Array, coeff: jax.Array, y0, axis: int = -1,
@@ -181,8 +243,11 @@ def dc_block(x: jax.Array, r, y0_x, y0_y, axis: int = -1,
         x_prev0 = jnp.where(idx == 0, x_prev0, neighbor)
     prev = jnp.concatenate([x_prev0[..., None], x[..., :-1]], axis=-1)
     diff = x - prev
-    a = jnp.broadcast_to(r, x.shape)
-    y = linear_scan(a, diff, y0_y, axis=-1, axis_name=axis_name)
+    if axis_name is None and jnp.ndim(r) == 0:
+        y = linear_scan_const(r, diff, y0_y)     # r is time-constant
+    else:
+        a = jnp.broadcast_to(r, x.shape)
+        y = linear_scan(a, diff, y0_y, axis=-1, axis_name=axis_name)
     return y, (x[..., -1], y[..., -1])
 
 

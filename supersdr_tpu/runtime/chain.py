@@ -62,6 +62,9 @@ class ChainConfig:
     blanker_enabled: bool = False  # static: compile the noise blanker in
                                    # (its median = a device sort; never pay
                                    # for it when NB is off)
+    nco_enabled: bool = True    # static: False skips the mixer pass when
+                                # the input is already channel-centered
+                                # (PFB output — offsets structurally 0)
 
     def __post_init__(self):
         if self.chunk % self.os_block:
@@ -226,8 +229,12 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
     if cfg.blanker_enabled:
         iqc = squelch_ops.apply_blanker(params.blanker, iqc)
 
-    # 1. tune: complex mix by -freq_offset
-    phase, x = mixer.mix(params.nco, state.phase, iqc)
+    # 1. tune: complex mix by -freq_offset (statically skipped for
+    #    channel-centered inputs, e.g. PFB output)
+    if cfg.nco_enabled:
+        phase, x = mixer.mix(params.nco, state.phase, iqc)
+    else:
+        phase, x = state.phase, iqc
 
     # 2. passband selection: batched overlap-save rows
     rows = x.reshape(*batch, n_rows, cfg.os_block)

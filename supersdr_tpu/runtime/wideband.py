@@ -53,12 +53,16 @@ class WidebandConfig:
 
     @property
     def chain_cfg(self) -> chain.ChainConfig:
+        # PFB output is channel-centered (offsets structurally zero —
+        # make_params forbids overriding them), so the NCO pass is
+        # statically compiled out
         return chain.ChainConfig(mode=self.mode, iq_rate=self.iq_rate,
                                  audio_rate=self.audio_rate,
                                  chunk=self.chunk_per_chan,
                                  os_block=self.chunk_per_chan,
                                  n_taps=self.n_taps,
-                                 agc_decimation=self.agc_decimation)
+                                 agc_decimation=self.agc_decimation,
+                                 nco_enabled=False)
 
 
 class WidebandParams(NamedTuple):

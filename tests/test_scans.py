@@ -80,3 +80,33 @@ def test_sliding_max_matches_naive(rng):
         ref = np.array([x[max(0, i - w + 1): i + 1].max()
                         for i in range(len(x))])
         np.testing.assert_allclose(y, ref, rtol=1e-6)
+
+
+def test_linear_scan_const_matches_general(rng):
+    import jax.numpy as jnp
+    from supersdr_tpu.ops import scans
+    b = rng.normal(size=(3, 1024)).astype(np.float32)
+    for a in (0.999, 0.9, 0.5):
+        ref = scans.linear_scan(np.full_like(b, a), b, 0.25)
+        got = scans.linear_scan_const(jnp.float32(a), jnp.asarray(b), 0.25)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+    # non-multiple length falls back
+    b2 = rng.normal(size=(2, 1000)).astype(np.float32)
+    ref = scans.linear_scan(np.full_like(b2, 0.99), b2, 0.0)
+    got = scans.linear_scan_const(jnp.float32(0.99), jnp.asarray(b2), 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_maxplus_scan_const_matches_general(rng):
+    import jax.numpy as jnp
+    from supersdr_tpu.ops import scans
+    b = (20 * rng.normal(size=(2, 2048)) - 60).astype(np.float32)
+    for d in (0.00125, 0.0125, 0.2):
+        a = np.full_like(b, -d)
+        ref = scans.maxplus_scan(a, b, -120.0)
+        got = scans.maxplus_scan_const(jnp.float32(-d), jnp.asarray(b),
+                                       -120.0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=2e-3)
