@@ -91,7 +91,8 @@ def interpolate(plan: InterpPlan, P: jax.Array, carry: jax.Array,
     # polyphase product then runs as one MXU matmul
     frames = jnp.stack([seg[..., p:p + n] for p in range(plan.per)],
                        axis=-1)                          # [..., n, per]
-    y = jnp.einsum("...np,pl->...nl", frames, P.astype(frames.dtype))
+    y = jnp.einsum("...np,pl->...nl", frames, P.astype(frames.dtype),
+                   precision=jax.lax.Precision.HIGHEST)
     y = y.reshape(*x.shape[:-1], n * plan.L)
     new_carry = seg[..., -plan.history:] if plan.history else seg[..., :0]
     return new_carry, y

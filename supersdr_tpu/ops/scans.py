@@ -145,7 +145,11 @@ def linear_scan_const(a, b: jax.Array, y0, block: int = 128) -> jax.Array:
     T = jnp.where(expo >= 0,
                   a ** jnp.maximum(expo, 0).astype(b.dtype), 0.0)  # [S, S]
     blocks = b.reshape(*b.shape[:-1], nb, block)
+    # HIGHEST precision: default TPU matmul rounds f32 inputs to bf16,
+    # which costs ~12 dB of audio SNR through the recurrence (caught by
+    # bench.py's cross-backend integrity gate)
     w = jnp.einsum("...ns,ts->...nt", blocks, T,
+                   precision=jax.lax.Precision.HIGHEST,
                    preferred_element_type=b.dtype)             # [.., nb, S]
     # carries: c[k] = a^S·c[k-1] + w_end[k]
     w_end = w[..., -1]
