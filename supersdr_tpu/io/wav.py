@@ -145,8 +145,10 @@ def write_kiwi_iq_wav(filename: str | Path, z: np.ndarray, samplerate: int,
 
 
 class AudioRecorder:
-    """Buffers played audio and writes a mono int16 WAV on stop
-    (behavior of `audio_recording`, utils_supersdr.py:144-172)."""
+    """Buffers played audio and writes an int16 WAV on stop (behavior of
+    `audio_recording`, utils_supersdr.py:144-172). Mono [n] frames write
+    a 1-channel file; stereo [n, 2] frames (the dual-RX mix) write a
+    2-channel file."""
 
     def __init__(self, audio_rate: int = 48000):
         self.audio_rate = audio_rate
@@ -181,8 +183,9 @@ class AudioRecorder:
                 else np.zeros(0, np.float32))
         if data.dtype != np.int16:
             data = np.clip(np.round(data * 32767), -32768, 32767).astype(np.int16)
+        channels = data.shape[1] if data.ndim == 2 else 1
         with wave.open(str(filename), "wb") as w:
-            w.setnchannels(1)
+            w.setnchannels(channels)
             w.setsampwidth(2)
             w.setframerate(self.audio_rate)
             w.writeframes(data.tobytes())

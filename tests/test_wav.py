@@ -49,3 +49,14 @@ def test_audio_recorder(tmp_path, rng):
     assert rate == 48000
     assert len(data) == 4096
     np.testing.assert_allclose(data / 32767.0, x, atol=1e-3)
+
+
+def test_audio_recorder_stereo(tmp_path):
+    from supersdr_tpu.io import wav
+    rec = wav.AudioRecorder(48000)
+    rec.start(str(tmp_path / "st.wav"))
+    rec.append(np.stack([np.ones(100) * 0.5, -np.ones(100) * 0.5], axis=-1))
+    rec.stop()
+    data, rate = wav.read_audio_wav(tmp_path / "st.wav")
+    assert data.shape == (100, 2)
+    assert data[0, 0] > 16000 and data[0, 1] < -16000
