@@ -43,6 +43,7 @@ class LiveTui:
     rx_sub: Receiver | None = None
     main_is_sub: bool = False   # reference main_sub_switch_flag
     _win: np.ndarray = field(default=None, repr=False)
+    _recorder: object = field(default=None, repr=False)
 
     @classmethod
     def create(cls, rx: Receiver, pan: Panadapter, width: int = 100,
@@ -101,6 +102,8 @@ class LiveTui:
     # --------------------------------------------------------------- keys
 
     def handle_key(self, key: str) -> bool:
+        if self.model.freq_entry is not None:
+            return self.model.handle_key(key)  # F-entry captures all keys
         if key == "y":
             self.enable_or_switch_sub()
             return True
@@ -122,18 +125,29 @@ class LiveTui:
 
     def step(self, iq_chunk: np.ndarray) -> np.ndarray:
         """One chunk through MAIN (+SUB) → stereo float32 [n, 2]; native
-        waterfall rows pushed to the model."""
+        waterfall rows pushed to the model; recording honored ('E')."""
         audio = self.rx.process(iq_chunk)
         out = self.rx.stereo(audio)
         if self.rx_sub is not None:
             out = out + self.rx_sub.stereo(self.rx_sub.process(iq_chunk))
             out = np.clip(out, -1.0, 1.0)
+        if self.model.recording:
+            if self._recorder is None:
+                from supersdr_tpu.io.wav import AudioRecorder
+                self._recorder = AudioRecorder(self.rx.cfg.audio_rate)
+                self.model.message = f"rec → {self._recorder.start()}"
+            self._recorder.append(out)
+        elif self._recorder is not None:
+            self.model.message = f"saved {self._recorder.stop()}"
+            self._recorder = None
         if len(iq_chunk) >= self.nfft:
             db = spectrum.waterfall_rows_db(
                 np.asarray(iq_chunk, np.complex64), self._win, self.nfft)
             db = spectrum.time_binned_average(
                 db, max(1, min(self.model.averaging_n, db.shape[0])))
-            res = spectrum.autolevel(db)
+            res = spectrum.autolevel(
+                db, delta_low_db=self.model.wf_delta_low_db,
+                delta_high_db=self.model.wf_delta_high_db)
             for row in np.asarray(res.color):
                 self.model.push_row(row)
         return out
@@ -190,7 +204,8 @@ def stdin_keys() -> Callable[[], list[str]]:
     old = termios.tcgetattr(fd)
     tty.setcbreak(fd)
 
-    esc_map = {"[A": "UP", "[B": "DOWN", "[C": "RIGHT", "[D": "LEFT"}
+    esc_map = {"[A": "UP", "[B": "DOWN", "[C": "RIGHT", "[D": "LEFT",
+               "[5": "PGUP", "[6": "PGDN"}
 
     def poll() -> list[str]:
         out = []
@@ -198,7 +213,10 @@ def stdin_keys() -> Callable[[], list[str]]:
             ch = sys.stdin.read(1)
             if ch == "\x1b":
                 seq = sys.stdin.read(2)
-                out.append(esc_map.get(seq, "ESC"))
+                key = esc_map.get(seq, "ESC")
+                if key in ("PGUP", "PGDN"):
+                    sys.stdin.read(1)  # trailing '~'
+                out.append(key)
             else:
                 out.append(ch)
         return out

@@ -104,6 +104,13 @@ class TuiModel:
     show_dx: bool = False
     eibi: object = None
     dx: object = None
+    # reference F key: direct frequency entry (digits, Enter commits,
+    # ESC cancels — supersdr.py:653-719); E: audio recording toggle;
+    # ,/. waterfall clip level deltas (utils:82)
+    freq_entry: str = None
+    recording: bool = False
+    wf_delta_low_db: float = 0.0
+    wf_delta_high_db: float = 0.0
 
     def push_row(self, color_row: np.ndarray) -> None:
         self.history.insert(0, np.asarray(color_row))
@@ -122,8 +129,31 @@ class TuiModel:
     def handle_key(self, key: str) -> bool:
         """Returns False to quit."""
         rx, pan = self.rx, self.pan
+        # frequency-entry mode captures everything until Enter/ESC
+        if self.freq_entry is not None:
+            if key in ("\r", "\n", "ENTER"):
+                try:
+                    f = float(self.freq_entry)
+                    if rx.radio_mode == "CW":
+                        from supersdr_tpu.ops.passband import CW_PITCH_HZ
+                        f -= CW_PITCH_HZ / 1000.0  # supersdr.py:664
+                    self._tune(f)
+                    self.message = f"tuned {rx.freq:.1f} kHz"
+                except ValueError:
+                    self.message = "bad frequency"
+                self.freq_entry = None
+            elif key in ("ESC", "\x1b"):
+                self.freq_entry = None
+            elif key == "BACKSPACE" or key == "\x7f":
+                self.freq_entry = self.freq_entry[:-1]
+            elif (key.isdigit() or key == ".") and len(self.freq_entry) < 10:
+                self.freq_entry += key
+            return True
         if key == "q":
             return False
+        elif key == "f":
+            self.freq_entry = ""
+            self.message = "enter frequency (kHz):"
         elif key in ("LEFT", "RIGHT"):
             self._tune(rx.freq + (1.0 if key == "RIGHT" else -1.0))
         elif key in ("<", ">"):
@@ -165,6 +195,30 @@ class TuiModel:
             self.memories.write_mem(rx.freq, rx.radio_mode, rx.delta_low,
                                     rx.delta_high)
             self.message = f"stored {rx.freq:.1f} kHz"
+        elif key == "W":   # SHIFT+W: save all memories to disk
+            self.memories.save_to_disk()
+            self.message = f"saved {len(self.memories)} memories"
+        elif key == "R":   # SHIFT+R: delete all stored memories
+            self.memories.reset_all_mem()
+            self.message = "memories cleared"
+        elif key == "E":   # start/stop audio recording
+            self.recording = not self.recording
+            self.message = ("recording" if self.recording
+                            else "recording stopped")
+        elif key in ("PGUP", "PGDN"):   # span +/- SPAN/4
+            pan.page(1 if key == "PGUP" else -1)
+        elif key == ",":
+            self.wf_delta_high_db -= 1.0
+        elif key == ".":
+            self.wf_delta_high_db += 1.0
+        elif key == ";":   # SHIFT variants of ,/. on the low clip
+            self.wf_delta_low_db -= 1.0
+        elif key == "'":
+            self.wf_delta_low_db += 1.0
+        elif key == "s" and self.links is not None:
+            fl = self.links.flags
+            fl.cat_snd_link = not fl.cat_snd_link
+            self.message = f"CAT sync {'on' if fl.cat_snd_link else 'off'}"
         elif key == "r":
             mem = self.memories.recall_mem()
             if mem:
@@ -192,11 +246,15 @@ class TuiModel:
 
     def status_line(self) -> str:
         rx = self.rx
+        if self.freq_entry is not None:
+            entry = f"  F> {self.freq_entry}_"
+        else:
+            entry = " REC" if self.recording else ""
         return (f" {rx.freq:9.2f} kHz  {rx.radio_mode:<4} "
                 f"[{int(rx.lc):+5d},{int(rx.hc):+5d}]Hz  "
                 f"vol {rx.volume:3d}%{' MUTE' if rx.muted else ''}  "
                 f"avg {self.averaging_n:<3d} "
-                f"{smeter_text(rx.smoothed_rssi)}")
+                f"{smeter_text(rx.smoothed_rssi)}{entry}")
 
     def span_line(self) -> str:
         pan = self.pan

@@ -149,3 +149,46 @@ def test_kiwi_tui_against_fake_server(tmp_path):
     assert rendered, "TUI rendered no frames"
     data, rate = wav.read_audio_wav(out)
     assert rate == 48000 and len(data) > 2048
+
+
+def test_freq_entry_and_recording_and_clip_keys(tmp_path, monkeypatch):
+    """Reference F/E/,/./W keys: direct frequency entry, audio recording
+    toggle, waterfall clip deltas, memory save (supersdr.py:653-719,
+    help table)."""
+    import os
+    monkeypatch.chdir(tmp_path)
+    s = make_session()
+    # F entry: digits then Enter
+    for k in ["f", "7", "0", "7", "4", ".", "5", "\r"]:
+        assert s.handle_key(k)
+    assert s.rx.freq == pytest.approx(7074.5)
+    # auto-mode retuned the band-plan mode (40m -> LSB)
+    assert s.rx.radio_mode == "LSB"
+    # ESC cancels
+    s.handle_key("f"); s.handle_key("1"); s.handle_key("ESC")
+    assert s.model.freq_entry is None
+
+    # E: record a couple of chunks, then stop -> WAV on disk
+    s.handle_key("E")
+    assert s.model.recording
+    sig = tone_iq(1000, 4096)
+    s.step(sig[:2048]); s.step(sig[2048:])
+    s.handle_key("E")
+    s.step(sig[:2048])          # triggers save
+    wavs = [f for f in os.listdir(tmp_path) if f.endswith(".wav")]
+    assert len(wavs) == 1
+    from supersdr_tpu.io import wav as wav_io
+    data, rate = wav_io.read_audio_wav(tmp_path / wavs[0])
+    assert rate == 48000 and data.shape[1] == 2 and len(data) == 2 * 8192
+
+    # clip level keys shift the autolevel window
+    s.handle_key(".")
+    s.handle_key(".")
+    assert s.model.wf_delta_high_db == 2.0
+    s.handle_key(";")
+    assert s.model.wf_delta_low_db == -1.0
+
+    # W saves memories to disk (after storing one)
+    s.handle_key("w")
+    s.handle_key("W")
+    assert os.path.exists(s.model.memories.path)
