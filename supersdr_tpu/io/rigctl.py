@@ -227,10 +227,16 @@ class RigctldServer:
             self._clients.append(conn)
         except (BlockingIOError, OSError):
             pass
+        # drop sockets already closed by close() racing this loop
+        # (fileno() == -1 would make select() raise)
+        self._clients = [s for s in self._clients if s.fileno() >= 0]
         if not self._clients:
             return
-        readable, _, errored = select.select(list(self._clients), [],
-                                             list(self._clients), 0)
+        try:
+            readable, _, errored = select.select(list(self._clients), [],
+                                                 list(self._clients), 0)
+        except (ValueError, OSError):
+            return
         for s in errored:
             try:
                 s.close()
