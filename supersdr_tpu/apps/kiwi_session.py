@@ -259,6 +259,53 @@ def run_kiwi_tui(args) -> int:
     session = LiveTui.create(rx, pan, width=min(term.columns - 2, 160),
                              wf_height=max(4, term.lines - 7), cat=cat)
 
+    # wide-span waterfall from the server's W/F stream (the reference's
+    # kiwi_waterfall loop, utils:879-898); native IQ rows are the
+    # fallback when a second channel slot isn't available
+    from supersdr_tpu.apps.live_tui import wf_row_to_color
+    wf_client = None
+    wf_state = {"zoom": pan.zoom, "counter": pan.counter}
+    try:
+        wf_client = KiwiClient(args.kiwiserver, args.kiwiport,
+                               args.password, stream_type="W/F",
+                               timestamp=client.timestamp)
+        wf_client.connect()
+        wf_client.setup_waterfall(zoom=pan.zoom, counter=pan.counter)
+        session.native_waterfall = False
+    except (KiwiError, OSError):
+        wf_client = None
+
+    if wf_client is not None:
+        def _wf_loop():
+            while True:
+                try:
+                    msg = wf_client.read()
+                except (KiwiError, OSError):
+                    return
+                if isinstance(msg, kp.WfFrame):
+                    session.model.push_row(wf_row_to_color(
+                        wf_client.wf_bins(msg), wf_state["zoom"],
+                        session.model.wf_delta_low_db,
+                        session.model.wf_delta_high_db))
+                    try:
+                        wf_client.keepalive()
+                    except OSError:
+                        pass
+
+        threading.Thread(target=_wf_loop, daemon=True).start()
+
+    def wf_sync():
+        """Re-tune the W/F stream when zoom/span keys moved the span
+        (reference set_freq_zoom → SET zoom=.. start=.., utils:815-845)."""
+        if wf_client is None:
+            return
+        if (pan.zoom, pan.counter) != (wf_state["zoom"], wf_state["counter"]):
+            wf_state["zoom"], wf_state["counter"] = pan.zoom, pan.counter
+            try:
+                wf_client.send(kp.set_zoom_start(pan.zoom, pan.counter))
+            except OSError:
+                pass
+
     frames_seen = [0]
 
     def source():
@@ -310,7 +357,8 @@ def run_kiwi_tui(args) -> int:
     if keys is None:
         keys = stdin_keys() if sys.stdin.isatty() else (lambda: [])
     try:
-        session.run(source(), keys=keys, sink=sink, render=ansi_render)
+        session.run(source(), keys=keys, sink=sink,
+                    render=ansi_render, on_tick=wf_sync)
     except KeyboardInterrupt:
         pass
     finally:
@@ -320,6 +368,8 @@ def run_kiwi_tui(args) -> int:
             out = rec_sink.stop()
             if out:
                 print(f"audio written to {out}")
+        if wf_client is not None:
+            wf_client.close()
         client.close()
     print(f"session done: {frames_seen[0]} frames, "
           f"RSSI {rx.smoothed_rssi:.1f} dB")

@@ -42,6 +42,8 @@ class LiveTui:
     nfft: int = 1024
     rx_sub: Receiver | None = None
     main_is_sub: bool = False   # reference main_sub_switch_flag
+    native_waterfall: bool = True  # False: rows pushed externally (live
+                                   # W/F stream at the panadapter span)
     _win: np.ndarray = field(default=None, repr=False)
     _recorder: object = field(default=None, repr=False)
 
@@ -140,7 +142,7 @@ class LiveTui:
         elif self._recorder is not None:
             self.model.message = f"saved {self._recorder.stop()}"
             self._recorder = None
-        if len(iq_chunk) >= self.nfft:
+        if self.native_waterfall and len(iq_chunk) >= self.nfft:
             db = spectrum.waterfall_rows_db(
                 np.asarray(iq_chunk, np.complex64), self._win, self.nfft)
             db = spectrum.time_binned_average(
@@ -159,10 +161,12 @@ class LiveTui:
             sink: Callable[[np.ndarray], None] | None = None,
             render: Callable[[list[str]], None] | None = None,
             fps: float = 15.0, poll_cat_every: int = 4,
+            on_tick: Callable[[], None] | None = None,
             clock: Callable[[], float] = time.monotonic) -> None:
         """Pump the session: IQ chunks in, stereo audio out, ANSI frames
         rendered at ≤fps, keys applied between chunks, CAT polled
-        periodically (reference render tick, supersdr.py:883-947)."""
+        periodically (reference render tick, supersdr.py:883-947).
+        `on_tick` runs after each chunk+keys (e.g. W/F zoom sync)."""
         min_frame_s = 1.0 / fps if fps > 0 else 0.0
         last_draw = -1e9
         for i, chunk in enumerate(source):
@@ -174,6 +178,8 @@ class LiveTui:
                 sink(audio)
             if poll_cat_every and i % poll_cat_every == 0:
                 self.links.poll_cat()
+            if on_tick is not None:
+                on_tick()
             now = clock()
             if render is not None and now - last_draw >= min_frame_s:
                 last_draw = now
@@ -187,6 +193,25 @@ class LiveTui:
                             f"bal {self.rx_sub.audio_balance:+.1f}"
                             f"{'  [MAIN=sub session]' if self.main_is_sub else ''}")
         return lines
+
+
+def wf_row_to_color(bins_u8: np.ndarray, zoom: int,
+                    delta_low_db: float = 0.0,
+                    delta_high_db: float = 0.0) -> np.ndarray:
+    """Server W/F row (uint8) → 0..255 color row, host-side numpy: the
+    reference dB calibration -(255-b)-13+3·zoom (utils:787-790) and the
+    P40/P100 percentile auto-level with ≥40 dB displayed range
+    (utils:793-813). Kept off-device: one 1024-byte row per frame does
+    not merit a TPU dispatch."""
+    wf = bins_u8.astype(np.float32)
+    db = -(255.0 - wf) - 13.0 + 3.0 * zoom
+    db[0] = db[1]                       # broken first bin, as upstream
+    low = np.percentile(db, spectrum.CLIP_LOW_PERCENTILE)
+    high = np.percentile(db, spectrum.CLIP_HIGH_PERCENTILE)
+    dyn = max(high - low, spectrum.MIN_DYN_RANGE_DB)
+    shifted = db - (low + delta_low_db)
+    norm = (dyn + delta_high_db) - delta_low_db
+    return np.clip(np.clip(shifted / norm, 0.0, 1.0) * 254.0, 0.0, 255.0)
 
 
 def ansi_render(lines: list[str]) -> None:

@@ -73,6 +73,11 @@ def pfb_fold_c(plan: channelizer.PFBPlan, G: jax.Array, carry: jax.Array,
     if plan.hop != plan.n_chan:
         raise ValueError("pallas fold requires critical sampling (osr=1)")
     M, K = plan.n_chan, plan.taps_per
+    # VMEM budget: ~2·tile_t rows per plane live at once (scratch window +
+    # output tile, double-buffered); keep under ~8 MB of the 16 MB scoped
+    # limit. At M=2560 this caps tile_t at 128.
+    cap = max(8, int(8e6 // (16 * M)))
+    tile_t = min(tile_t, 1 << (cap.bit_length() - 1))
     n = x.shape[-1]
     n_frames = n // M
     seg = jnp.concatenate([carry, x], axis=-1)

@@ -192,3 +192,38 @@ def test_freq_entry_and_recording_and_clip_keys(tmp_path, monkeypatch):
     s.handle_key("w")
     s.handle_key("W")
     assert os.path.exists(s.model.memories.path)
+
+
+def test_kiwi_tui_uses_server_waterfall(tmp_path):
+    """With a W/F-capable server the TUI shows the wide-span server
+    waterfall (kiwi_byte_to_db + autolevel) instead of native IQ rows,
+    and zoom keys re-tune the W/F stream (SET zoom=.. start=..)."""
+    from supersdr_tpu import cli
+    from supersdr_tpu.io.fake_kiwi import FakeKiwiConfig, FakeKiwiServer
+    import supersdr_tpu.apps.live_tui as lt
+
+    t = np.arange(512 * 80) / FS
+    iq = (0.2 * np.exp(2j * np.pi * 1000 * t)).astype(np.complex64)
+    rows = np.tile((np.linspace(0, 255, 1024)).astype(np.uint8), (64, 1))
+    server = FakeKiwiServer(FakeKiwiConfig(iq_source=iq, wf_source=rows,
+                                           n_frames=64,
+                                           audio_rate_true=12000.0)).start()
+    key_script = iter([["UP"]])
+    rendered = []
+    orig = lt.ansi_render
+    lt.ansi_render = rendered.append
+    try:
+        args = cli.build_parser().parse_args(
+            ["kiwi", "-s", "127.0.0.1", "-p", str(server.port),
+             "-f", "14200", "--mode", "USB", "-o", str(tmp_path / "a.wav"),
+             "--frames", "56", "--tui"])
+        args.inject_keys = lambda: next(key_script, [])
+        from supersdr_tpu.apps.kiwi_session import run_kiwi_tui
+        assert run_kiwi_tui(args) == 0
+    finally:
+        lt.ansi_render = orig
+        server.stop()
+    assert rendered
+    # zoom key propagated to the W/F stream
+    zooms = [c for c in server.commands if "zoom=" in c]
+    assert any("zoom=9" in z for z in zooms), zooms[-3:]  # default -z 8, UP -> 9
