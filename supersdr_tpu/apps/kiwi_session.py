@@ -169,8 +169,12 @@ def run_kiwi_session(args) -> int:
     drift = DriftCompensator(nominal_rate=kiwi_rate, true_rate=true_rate,
                              frame=chunk)
     engine = StreamEngine(source_factory, process=rx.process,
-                          config=EngineConfig(buffer_frames=args.buffer,
-                                              connect_retries=1),
+                          process_dispatch=rx.process_dispatch,
+                          process_fetch=rx.process_fetch,
+                          config=EngineConfig(
+                              buffer_frames=args.buffer,
+                              connect_retries=1,
+                              pipeline_depth=getattr(args, "pipeline", 0)),
                           governor=governor, drift=drift)
 
     # -------- sink

@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also open a W/F stream and write a waterfall PNG")
     k.add_argument("--record-iq", default=None,
                    help="record the raw IQ stream to a KiwiSDR-format WAV")
+    k.add_argument("--pipeline", type=int, default=0,
+                   help="device dispatch pipeline depth (N blocks in "
+                        "flight; hides the host-device round trip at +N "
+                        "blocks of latency)")
     k.add_argument("--tui", action="store_true",
                    help="interactive terminal panadapter (live waterfall, "
                         "keyboard tuning, dual RX, CAT sync)")

@@ -203,11 +203,18 @@ class Receiver:
 
     # --------------------------------------------------------- audio path
 
-    def process(self, iq_block: np.ndarray):
-        """Demodulate one IQ chunk; returns float32 audio at the audio
-        rate with volume and TX-mute applied."""
+    def process_dispatch(self, iq_block: np.ndarray):
+        """Dispatch one IQ chunk to the device WITHOUT fetching — JAX's
+        async dispatch returns immediately; pair with `process_fetch`
+        (the engine's pipeline_depth mode overlaps device compute of
+        block k with the readback of block k-1)."""
         self.state, out = chain.process(self.cfg, self.params, self.state,
                                         np.asarray(iq_block, np.complex64))
+        return out
+
+    def process_fetch(self, out):
+        """Materialize a dispatched chunk's audio with volume and TX-mute
+        applied (host-side post-processing)."""
         self.rssi = float(np.asarray(out.rssi)[-1])
         from supersdr_tpu.ops import smeter
         self.smoothed_rssi = float(smeter.smooth(
@@ -222,6 +229,11 @@ class Receiver:
         if self.mute_counter > 0 or self.muted:
             audio = audio * 0.0
         return audio
+
+    def process(self, iq_block: np.ndarray):
+        """Demodulate one IQ chunk; returns float32 audio at the audio
+        rate with volume and TX-mute applied."""
+        return self.process_fetch(self.process_dispatch(iq_block))
 
     def stereo(self, audio: np.ndarray) -> np.ndarray:
         """Mono → stereo with the reference's squared pan law

@@ -39,6 +39,10 @@ class EngineConfig:
     backoff_closed_s: float = 5.0
     backoff_busy_s: float = 15.0
     time_limit_s: float | None = None
+    pipeline_depth: int = 0          # >0: keep N device dispatches in
+                                     # flight (fetch block k-N while k
+                                     # computes) — hides the host↔device
+                                     # round trip at +N blocks of latency
 
 
 class StreamEngine:
@@ -54,10 +58,17 @@ class StreamEngine:
                  config: EngineConfig | None = None,
                  governor: LatencyGovernor | None = None,
                  drift: DriftCompensator | None = None,
-                 clock: Callable[[], float] = None):
+                 clock: Callable[[], float] = None,
+                 process_dispatch: Callable | None = None,
+                 process_fetch: Callable | None = None):
         self.cfg = config or EngineConfig()
         self.source_factory = source_factory
         self.process = process
+        # async split (pipeline_depth > 0): dispatch returns a device
+        # handle, fetch materializes the audio — JAX's async dispatch
+        # overlaps block k's device time with block k-1's readback
+        self.process_dispatch = process_dispatch
+        self.process_fetch = process_fetch
         self.buffer = FrameBuffer(self.cfg.buffer_frames)
         self.governor = governor
         self.drift = drift
@@ -155,6 +166,11 @@ class StreamEngine:
         self.status = "switch-failed-reverted"
 
     def _pump(self, source: Iterator[np.ndarray]) -> None:
+        from collections import deque
+        depth = self.cfg.pipeline_depth
+        use_async = (depth > 0 and self.process_dispatch is not None
+                     and self.process_fetch is not None)
+        inflight: deque = deque()
         for block in source:
             if self.terminate or self._pending_factory is not None:
                 return
@@ -164,13 +180,23 @@ class StreamEngine:
                     next(source)
                 except StopIteration:
                     pass
-            audio = self.process(block)
+            if use_async:
+                inflight.append(self.process_dispatch(block))
+                if len(inflight) <= depth:
+                    continue
+                audio = self.process_fetch(inflight.popleft())
+            else:
+                audio = self.process(block)
             action = "buffer"
             if self.governor is not None:
                 action = self.governor.on_frame(self.clock())
             if action == "drop":
                 self.dropped_frames += 1
                 continue
+            self.buffer.put(np.asarray(audio), block=True, timeout=5.0)
+        # drain the pipeline tail so no audio is lost at stream end
+        while inflight and not self.terminate:
+            audio = self.process_fetch(inflight.popleft())
             self.buffer.put(np.asarray(audio), block=True, timeout=5.0)
 
     # ------------------------------------------------------------ sink API

@@ -206,3 +206,41 @@ def test_engine_switch_source_failure_reverts():
     eng.stop()
     assert eng.switch_failures == 1
     assert all(f is None or f[0] == 1.0 for f in tail)
+
+
+def test_engine_pipelined_dispatch_preserves_order_and_drains():
+    """pipeline_depth=1: the engine keeps one dispatch in flight (fetch
+    of block k-1 overlaps block k), order is preserved, the tail drains."""
+    dispatched, fetched = [], []
+
+    def dispatch(block):
+        dispatched.append(float(block[0]))
+        return ("handle", float(block[0]))
+
+    def fetch(handle):
+        fetched.append(handle[1])
+        return np.full(4, handle[1], np.float32)
+
+    def factory():
+        def gen():
+            for i in range(6):
+                yield np.full(4, float(i), np.float32)
+        return gen()
+
+    eng = StreamEngine(factory, process=None,
+                       process_dispatch=dispatch, process_fetch=fetch,
+                       config=EngineConfig(buffer_frames=16,
+                                           connect_retries=1,
+                                           pipeline_depth=1))
+    eng.start()
+    got = []
+    for _ in range(6):
+        f = eng.pop_audio(timeout=2.0)
+        if f is None:
+            break
+        got.append(float(f[0]))
+    eng.stop()
+    assert got == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    # dispatch ran one block ahead of fetch while streaming
+    assert dispatched == [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    assert fetched == dispatched
