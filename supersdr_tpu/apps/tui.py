@@ -35,6 +35,20 @@ _ANSI_RAMP = [16, 17, 18, 19, 20, 21, 27, 33, 39, 45, 51, 50, 49, 48, 47,
               46, 82, 118, 154, 190, 226, 220, 214, 208, 202, 196]
 _BLOCKS = " ▁▂▃▄▅▆▇█"
 
+# reference HELP_MESSAGE_LIST (utils_supersdr.py:73-102), terminal edition
+HELP_LINES = [
+    "supersdr-tpu TUI keys",
+    "  LEFT/RIGHT tune ±1 kHz   </> ±10 kHz   f direct entry (Enter/ESC)",
+    "  PGUP/PGDN  span ±SPAN/4  UP/DOWN zoom  SPACE recenter",
+    "  u/l/c/a    USB/LSB/CW/AM   x auto-mode   j/k passband  o reset",
+    "  g/h        averaging +/-   ,/. high-clip  ;/' low-clip",
+    "  v/b        volume ±10 %    m mute        5/6 balance L/R",
+    "  y          SUB RX on / switch MAIN-SUB   Y kill SUB   n SUB→center",
+    "  w/r        write/recall memory   W save to disk   R clear all",
+    "  E          record audio    i EIBI overlay  d DX cluster  s CAT sync",
+    "  ?          toggle this help          q quit",
+]
+
 
 def color_to_ansi_index(value: float) -> int:
     """0..255 waterfall color → xterm-256 palette index."""
@@ -111,6 +125,7 @@ class TuiModel:
     recording: bool = False
     wf_delta_low_db: float = 0.0
     wf_delta_high_db: float = 0.0
+    show_help: bool = False
 
     def push_row(self, color_row: np.ndarray) -> None:
         self.history.insert(0, np.asarray(color_row))
@@ -240,6 +255,8 @@ class TuiModel:
         elif key == "d":
             self.show_dx = not self.show_dx
             self.message = f"DX cluster {'on' if self.show_dx else 'off'}"
+        elif key == "?":
+            self.show_help = not self.show_help
         return True
 
     # ---------------------------------------------------------- rendering
@@ -304,6 +321,8 @@ class TuiModel:
 
     def render(self) -> list[str]:
         lines = [self.status_line(), self.span_line()]
+        if self.show_help:
+            return lines + HELP_LINES
         if self.show_eibi or self.show_dx:
             lines.extend(self.overlay_lines())
         if self.history:

@@ -112,3 +112,16 @@ def test_eibi_ships_with_package():
     assert db.loaded
     # the 49m broadcast band is dense with schedule entries
     assert len(db.get_stations(5900, 6200)) > 50
+
+
+def test_help_screen_toggle():
+    from supersdr_tpu.apps.tui import HELP_LINES, TuiModel
+    from supersdr_tpu.control.panadapter import Panadapter
+    from supersdr_tpu.control.receiver import Receiver
+    from supersdr_tpu.runtime import chain
+
+    cfg = chain.ChainConfig(mode="USB", chunk=2048, os_block=2048)
+    m = TuiModel(rx=Receiver(cfg=cfg), pan=Panadapter(zoom=8), width=80)
+    assert m.handle_key("?") and m.show_help
+    assert HELP_LINES[0] in m.render()
+    assert m.handle_key("?") and not m.show_help
