@@ -75,6 +75,9 @@ def build_parser() -> argparse.ArgumentParser:
     wb.add_argument("--mode", default="AM")
     wb.add_argument("--top", type=int, default=8,
                     help="write audio for the N strongest channels")
+    wb.add_argument("--passband", default="fft", choices=("fft", "matmul"),
+                    help="passband filter: overlap-save FFT or the "
+                         "Toeplitz MXU matmul (ops/fir_matmul.py)")
 
     k = sub.add_parser("kiwi", help="stream audio from a live KiwiSDR")
     _add_common_kiwi(k)
@@ -198,7 +201,8 @@ def cmd_wideband(args) -> int:
     z = z[: (len(z) // chunk_in) * chunk_in]
     cfg = wideband.WidebandConfig(fs_in=fs_eff, n_chan=n_chan,
                                   chunk_in=chunk_in, mode=args.mode,
-                                  audio_rate=4 * fs_eff // n_chan)
+                                  audio_rate=4 * fs_eff // n_chan,
+                                  passband_impl=args.passband)
     params = wideband.make_params(cfg)
     state = wideband.init_state(cfg)
     audio_parts = []

@@ -33,7 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from supersdr_tpu.ops import agc as agc_ops
 from supersdr_tpu.ops import cx
 from supersdr_tpu.ops import demod as demod_ops
-from supersdr_tpu.ops import mixer, overlap_save, resample, scans, smeter
+from supersdr_tpu.ops import fir_matmul, mixer, overlap_save, resample, \
+    scans, smeter
 from supersdr_tpu.ops import squelch as squelch_ops
 from supersdr_tpu.parallel.mesh import CHAN_AXIS, TIME_AXIS
 from supersdr_tpu.runtime import chain as chain_mod
@@ -64,16 +65,23 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
                         + (t_idx.astype(jnp.float32) + 1.0)
                         * params.nco.block_inc, 1.0)
 
-    # 2. overlap-save passband; history = left neighbor's tail (halo) or the
-    #    incoming stream state on shard 0
+    # 2. passband; history = left neighbor's tail (halo) or the incoming
+    #    stream state on shard 0 — same n_taps-1 input-tail state for both
+    #    filter implementations
     halo = scans.left_halo(x, plan.overlap, TIME_AXIS)
     head = jnp.where(t_idx == 0, cx.to_complex(state.os_carry), halo)
-    rows = x.reshape(*batch, n_rows, cfg.os_block)
-    y_rows = overlap_save.overlap_save_batch_c(plan,
-                                               cx.to_complex(params.H_pass),
-                                               head, rows)
+    if cfg.passband_impl == "matmul":
+        _, y_cx = fir_matmul.fir_matmul_stream_c(cfg.fir_plan, params.W_pass,
+                                                 cx.split(head), cx.split(x))
+        y = cx.to_complex(y_cx)
+        y_rows = y.reshape(*batch, n_rows, cfg.os_block)
+    else:
+        rows = x.reshape(*batch, n_rows, cfg.os_block)
+        y_rows = overlap_save.overlap_save_batch_c(plan,
+                                                   cx.to_complex(params.H_pass),
+                                                   head, rows)
+        y = y_rows.reshape(*batch, cfg.chunk)
     os_carry = cx.split(x[..., -plan.overlap:])
-    y = y_rows.reshape(*batch, cfg.chunk)
 
     rssi = smeter.rssi_db(y_rows)
 
@@ -147,6 +155,7 @@ def build(cfg: ChainConfig, mesh: Mesh):
         agc=jax.tree.map(lambda _: P(), agc_ops.make_params(cfg.iq_rate)),
         squelch=jax.tree.map(lambda _: P(), squelch_ops.make_squelch()),
         blanker=jax.tree.map(lambda _: P(), squelch_ops.make_blanker()),
+        W_pass=P() if cfg.passband_impl == "matmul" else None,
     )
     state_spec = ChainState(
         phase=P(CHAN_AXIS),

@@ -41,7 +41,8 @@ import numpy as np
 from supersdr_tpu.ops import agc as agc_ops
 from supersdr_tpu.ops import cx
 from supersdr_tpu.ops import demod as demod_ops
-from supersdr_tpu.ops import firdesign, mixer, overlap_save, passband, resample
+from supersdr_tpu.ops import fir_matmul, firdesign, mixer, overlap_save, \
+    passband, resample
 from supersdr_tpu.ops import smeter
 from supersdr_tpu.ops import squelch as squelch_ops
 
@@ -65,12 +66,18 @@ class ChainConfig:
     nco_enabled: bool = True    # static: False skips the mixer pass when
                                 # the input is already channel-centered
                                 # (PFB output — offsets structurally 0)
+    passband_impl: str = "fft"  # static: "fft" = overlap-save FFT,
+                                # "matmul" = blocked-Toeplitz MXU FIR
+                                # (ops/fir_matmul.py; A/B'd on-chip in
+                                # docs/PERFORMANCE.md)
 
     def __post_init__(self):
         if self.chunk % self.os_block:
             raise ValueError("chunk must be a multiple of os_block")
         if self.n_taps % 2 == 0:
             raise ValueError("n_taps must be odd")
+        if self.passband_impl not in ("fft", "matmul"):
+            raise ValueError("passband_impl must be 'fft' or 'matmul'")
         if self.audio_rate % self.iq_rate:
             _, M = self.resample_LM
             if self.chunk % M:
@@ -82,6 +89,10 @@ class ChainConfig:
     @property
     def os_plan(self) -> overlap_save.OSPlan:
         return overlap_save.plan_for(self.os_block, self.n_taps)
+
+    @property
+    def fir_plan(self) -> fir_matmul.FIRMatmulPlan:
+        return fir_matmul.plan_for(self.chunk, self.n_taps)
 
     @property
     def is_rational(self) -> bool:
@@ -137,6 +148,8 @@ class ChainParams(NamedTuple):
     agc: agc_ops.AGCParams
     squelch: squelch_ops.SquelchParams
     blanker: squelch_ops.BlankerParams
+    W_pass: jax.Array | None = None  # [2·window, 2·block] Toeplitz matmul
+                                     # matrix (passband_impl="matmul" only)
 
 
 class ChainState(NamedTuple):
@@ -187,10 +200,13 @@ def make_params(cfg: ChainConfig,
     nco = mixer.NCOParams.make(-np.asarray(freq_offset_hz, np.float64),
                                cfg.iq_rate, cfg.chunk)
     agc_p = agc_ops.make_params(cfg.iq_rate, **(agc_kwargs or {}))
+    W_pass = (fir_matmul.build_w(cfg.fir_plan, taps)
+              if cfg.passband_impl == "matmul" else None)
     return ChainParams(nco=nco, H_pass=H, P_interp=jnp.asarray(P, jnp.float32),
                        agc=agc_p,
                        squelch=squelch_ops.make_squelch(**(squelch_kwargs or {})),
-                       blanker=squelch_ops.make_blanker(**(blanker_kwargs or {})))
+                       blanker=squelch_ops.make_blanker(**(blanker_kwargs or {})),
+                       W_pass=W_pass)
 
 
 def init_state(cfg: ChainConfig, batch_shape: tuple[int, ...] = ()
@@ -236,14 +252,21 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
     else:
         phase, x = state.phase, iqc
 
-    # 2. passband selection: batched overlap-save rows
-    rows = x.reshape(*batch, n_rows, cfg.os_block)
-    y_rows = overlap_save.overlap_save_batch_c(plan,
-                                               cx.to_complex(params.H_pass),
-                                               cx.to_complex(state.os_carry),
-                                               rows)
+    # 2. passband selection: batched overlap-save rows, or the FFT-free
+    #    blocked-Toeplitz MXU matmul (same streaming state either way)
+    if cfg.passband_impl == "matmul":
+        _, y_cx = fir_matmul.fir_matmul_stream_c(cfg.fir_plan, params.W_pass,
+                                                 state.os_carry, cx.split(x))
+        y = cx.to_complex(y_cx)
+        y_rows = y.reshape(*batch, n_rows, cfg.os_block)
+    else:
+        rows = x.reshape(*batch, n_rows, cfg.os_block)
+        y_rows = overlap_save.overlap_save_batch_c(plan,
+                                                   cx.to_complex(params.H_pass),
+                                                   cx.to_complex(state.os_carry),
+                                                   rows)
+        y = y_rows.reshape(*batch, cfg.chunk)
     os_carry = cx.split(x[..., -plan.overlap:])
-    y = y_rows.reshape(*batch, cfg.chunk)
 
     # 3. per-row RSSI from the passband signal (the reference receives one
     #    RSSI per 512-sample SND frame; here one per overlap-save row)

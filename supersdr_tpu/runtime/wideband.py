@@ -36,6 +36,8 @@ class WidebandConfig:
     pallas_fold: bool = False           # PFB fold via the Pallas DMA kernel
                                         # instead of the XLA gather (A/B'd
                                         # on-chip in docs/PERFORMANCE.md)
+    passband_impl: str = "fft"          # chain passband: "fft" overlap-save
+                                        # or "matmul" Toeplitz MXU FIR
 
     def __post_init__(self):
         if self.fs_in % self.n_chan:
@@ -62,7 +64,8 @@ class WidebandConfig:
                                  os_block=self.chunk_per_chan,
                                  n_taps=self.n_taps,
                                  agc_decimation=self.agc_decimation,
-                                 nco_enabled=False)
+                                 nco_enabled=False,
+                                 passband_impl=self.passband_impl)
 
 
 class WidebandParams(NamedTuple):

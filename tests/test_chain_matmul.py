@@ -1,0 +1,94 @@
+"""passband_impl="matmul" must reproduce the FFT overlap-save chain."""
+
+import numpy as np
+import pytest
+
+from supersdr_tpu.ops import cx
+from supersdr_tpu.parallel import mesh as mesh_mod
+from supersdr_tpu.parallel import sharded_chain
+from supersdr_tpu.runtime import chain, wideband
+
+
+def _run(cfg, iq, n_chunks):
+    params = chain.make_params(cfg, freq_offset_hz=1000.0)
+    state = chain.init_state(cfg)
+    outs = []
+    for i in range(n_chunks):
+        state, out = chain.process(cfg, params, state,
+                                   iq[i * cfg.chunk:(i + 1) * cfg.chunk])
+        outs.append(np.asarray(out.audio))
+    return np.concatenate(outs)
+
+
+@pytest.mark.parametrize("mode", ["AM", "USB", "CW", "NBFM"])
+def test_chain_impls_agree(rng, mode):
+    n_chunks, chunk = 6, 2048
+    n = n_chunks * chunk
+    t = np.arange(n) / 12000.0
+    skip = 0
+    if mode == "NBFM":
+        # deterministic FM tone: phase demod of noise/near-zero samples is
+        # chaotic (±π flips on sub-ulp filter differences). The zero-history
+        # ramp-in still produces a few ill-defined angles that perturb the
+        # AGC warm-up differently per impl — verified to reconverge exactly
+        # — so compare steady state only.
+        inst_f = 1000.0 + 2500.0 * np.sin(2 * np.pi * 400.0 * t)
+        ph = 2 * np.pi * np.cumsum(inst_f) / 12000.0
+        iq = (0.5 * np.exp(1j * ph)).astype(np.complex64)
+        skip = 4 * chunk * 4          # 4 chunks of 48 kHz audio
+    else:
+        iq = ((rng.normal(size=n) + 1j * rng.normal(size=n)) * 0.1
+              ).astype(np.complex64)
+    base = dict(mode=mode, iq_rate=12000, audio_rate=48000, chunk=chunk,
+                os_block=chunk, n_taps=257)
+    a = _run(chain.ChainConfig(**base, passband_impl="fft"), iq, n_chunks)
+    b = _run(chain.ChainConfig(**base, passband_impl="matmul"), iq, n_chunks)
+    np.testing.assert_allclose(b[skip:], a[skip:], rtol=0, atol=2e-4)
+
+
+def test_wideband_impls_agree(rng):
+    common = dict(fs_in=192_000, n_chan=16, chunk_in=32_768, mode="AM",
+                  taps_per=8, n_taps=257, audio_rate=48_000)
+    iq = ((rng.normal(size=(2, 32_768)) + 1j * rng.normal(size=(2, 32_768)))
+          * 0.05).astype(np.complex64)
+
+    def run(**kw):
+        cfg = wideband.WidebandConfig(**common, **kw)
+        params = wideband.make_params(cfg)
+        state = wideband.init_state(cfg)
+        _, audio = wideband.process_many(cfg, params, state, iq)
+        return np.asarray(audio)
+
+    a = run(passband_impl="fft")
+    b = run(passband_impl="matmul")
+    np.testing.assert_allclose(b, a, rtol=0, atol=2e-4)
+
+
+def test_sharded_matmul_matches_serial(rng):
+    """Time-sharded matmul chain == serial matmul chain, sample-exact
+    modulo float accumulation, on the 8-device CPU mesh."""
+    n_chan, shard, n_time = 4, 1024, 4
+    cfg = chain.ChainConfig(mode="AM", iq_rate=12000, audio_rate=48000,
+                            chunk=shard, os_block=shard, n_taps=257,
+                            passband_impl="matmul")
+    m = mesh_mod.make_mesh(n_chan=2, n_time=n_time)
+    iq = ((rng.normal(size=(n_chan, shard * n_time))
+           + 1j * rng.normal(size=(n_chan, shard * n_time))) * 0.1
+          ).astype(np.complex64)
+    params = sharded_chain.make_params(cfg, n_chan, freq_offsets_hz=500.0)
+    state = sharded_chain.init_state(cfg, n_chan)
+    process = sharded_chain.build(cfg, m)
+    _, out = process(params, state, iq)
+    got = np.asarray(out.audio)
+
+    ser_cfg = chain.ChainConfig(mode="AM", iq_rate=12000, audio_rate=48000,
+                                chunk=shard * n_time, os_block=shard,
+                                n_taps=257, passband_impl="matmul")
+    ser_params = chain.make_params(ser_cfg,
+                                   freq_offset_hz=np.full(n_chan, 500.0))
+    ser_state = chain.init_state(ser_cfg, (n_chan,))
+    _, ser_out = chain.process(ser_cfg, ser_params, ser_state, iq)
+    # accumulation order differs between the sharded and serial einsum
+    # partitions; agreement is relative-precision level
+    np.testing.assert_allclose(got, np.asarray(ser_out.audio),
+                               rtol=2e-5, atol=2e-4)
