@@ -104,8 +104,8 @@ class LiveTui:
     # --------------------------------------------------------------- keys
 
     def handle_key(self, key: str) -> bool:
-        if self.model.freq_entry is not None:
-            return self.model.handle_key(key)  # F-entry captures all keys
+        if self.model.freq_entry is not None or self.model.text_entry is not None:
+            return self.model.handle_key(key)  # entry modes capture all keys
         if key == "y":
             self.enable_or_switch_sub()
             return True

@@ -46,6 +46,8 @@ HELP_LINES = [
     "  y          SUB RX on / switch MAIN-SUB   Y kill SUB   n SUB→center",
     "  w/r        write/recall memory   W save to disk   R clear all",
     "  E          record audio    i EIBI overlay  d DX cluster  s CAT sync",
+    "  1/2        AGC threshold -/+   !/@ AGC decay -/+   3 WF autoscale",
+    "  0/9        log QSO / search log (callsign entry)   4 spectrum fill",
     "  ?          toggle this help          q quit",
 ]
 
@@ -64,10 +66,12 @@ def resample_bins(row: np.ndarray, width: int) -> np.ndarray:
                      for a, b in zip(edges[:-1], edges[1:])])
 
 
-def spectrum_row_text(row: np.ndarray, width: int) -> str:
-    """One-line unicode-block spectrum trace."""
+def spectrum_row_text(row: np.ndarray, width: int, fill: bool = True) -> str:
+    """One-line spectrum trace: solid blocks (filled, reference key 4 on)
+    or a sparse level gradient (off)."""
     r = resample_bins(row, width) / 255.0
-    return "".join(_BLOCKS[int(v * (len(_BLOCKS) - 1))] for v in r)
+    chars = _BLOCKS if fill else " .,:;|+*#%"
+    return "".join(chars[int(v * (len(chars) - 1))] for v in r)
 
 
 def waterfall_row_ansi(row: np.ndarray, width: int) -> str:
@@ -126,6 +130,38 @@ class TuiModel:
     wf_delta_low_db: float = 0.0
     wf_delta_high_db: float = 0.0
     show_help: bool = False
+    # reference 0/9 logger keys (supersdr.py logger dialogs → headless
+    # entry line), 4 spectrum filling toggle (utils:96)
+    text_entry: tuple = None        # (purpose, buffer)
+    spectrum_fill: bool = True
+    logbook: object = None
+
+    def _get_logbook(self):
+        if self.logbook is None:
+            from supersdr_tpu.control.logbook import Logbook
+            self.logbook = Logbook()
+        return self.logbook
+
+    def _commit_text_entry(self) -> None:
+        purpose, buf = self.text_entry
+        self.text_entry = None
+        buf = buf.strip().upper()
+        if not buf:
+            return
+        if purpose == "qso_add":
+            from supersdr_tpu.control.logbook import QSO
+            book = self._get_logbook()
+            book.add(QSO(callsign=buf, freq_khz=self.rx.freq,
+                         mode=self.rx.radio_mode))
+            self.message = f"logged {buf} @ {self.rx.freq:.1f} kHz"
+        elif purpose == "qso_search":
+            hits = self._get_logbook().search(buf)
+            if hits:
+                q = hits[-1]
+                self.message = (f"{len(hits)} QSO(s) {buf}: last "
+                                f"{q.date} {q.utc} {q.freq_khz:.1f} {q.mode}")
+            else:
+                self.message = f"no QSOs for {buf}"
 
     def push_row(self, color_row: np.ndarray) -> None:
         self.history.insert(0, np.asarray(color_row))
@@ -144,6 +180,18 @@ class TuiModel:
     def handle_key(self, key: str) -> bool:
         """Returns False to quit."""
         rx, pan = self.rx, self.pan
+        # text-entry mode (QSO add/search) captures everything until Enter
+        if self.text_entry is not None:
+            purpose, buf = self.text_entry
+            if key in ("\r", "\n", "ENTER"):
+                self._commit_text_entry()
+            elif key in ("ESC", "\x1b"):
+                self.text_entry = None
+            elif key in ("BACKSPACE", "\x7f"):
+                self.text_entry = (purpose, buf[:-1])
+            elif len(key) == 1 and key.isprintable() and len(buf) < 16:
+                self.text_entry = (purpose, buf + key)
+            return True
         # frequency-entry mode captures everything until Enter/ESC
         if self.freq_entry is not None:
             if key in ("\r", "\n", "ENTER"):
@@ -255,6 +303,32 @@ class TuiModel:
         elif key == "d":
             self.show_dx = not self.show_dx
             self.message = f"DX cluster {'on' if self.show_dx else 'off'}"
+        elif key == "1":   # AGC threshold down (supersdr key 1)
+            rx.set_agc_params(thresh=max(-130, rx.agc.thresh - 5))
+            self.message = f"AGC thresh {rx.agc.thresh} dB"
+        elif key == "2":   # AGC threshold up
+            rx.set_agc_params(thresh=min(0, rx.agc.thresh + 5))
+            self.message = f"AGC thresh {rx.agc.thresh} dB"
+        elif key == "!":   # SHIFT+1: AGC decay down
+            rx.agc.change_delay(-200, rx.radio_mode)
+            rx.refresh_params()
+            self.message = f"AGC decay {rx.agc.decay} ms"
+        elif key == "@":   # SHIFT+2: AGC decay up
+            rx.agc.change_delay(+200, rx.radio_mode)
+            rx.refresh_params()
+            self.message = f"AGC decay {rx.agc.decay} ms"
+        elif key == "3":   # WF autoscale: reset the clip deltas
+            self.wf_delta_low_db = 0.0
+            self.wf_delta_high_db = 0.0
+            self.message = "WF autoscale"
+        elif key == "4":   # spectrum filling on/off
+            self.spectrum_fill = not self.spectrum_fill
+        elif key == "0":   # add QSO to log
+            self.text_entry = ("qso_add", "")
+            self.message = "log QSO — callsign:"
+        elif key == "9":   # search QSO
+            self.text_entry = ("qso_search", "")
+            self.message = "search QSO — callsign:"
         elif key == "?":
             self.show_help = not self.show_help
         return True
@@ -265,6 +339,8 @@ class TuiModel:
         rx = self.rx
         if self.freq_entry is not None:
             entry = f"  F> {self.freq_entry}_"
+        elif self.text_entry is not None:
+            entry = f"  {self.text_entry[0]}> {self.text_entry[1]}_"
         else:
             entry = " REC" if self.recording else ""
         return (f" {rx.freq:9.2f} kHz  {rx.radio_mode:<4} "
@@ -328,7 +404,7 @@ class TuiModel:
         if self.history:
             lines.append(spectrum_row_text(
                 np.mean(self.history[:min(15, len(self.history))], axis=0),
-                self.width))
+                self.width, fill=self.spectrum_fill))
             for row in self.history:
                 lines.append(waterfall_row_ansi(row, self.width))
         return lines

@@ -125,3 +125,57 @@ def test_help_screen_toggle():
     assert m.handle_key("?") and m.show_help
     assert HELP_LINES[0] in m.render()
     assert m.handle_key("?") and not m.show_help
+
+
+def test_qso_logger_keys(tmp_path):
+    """0/9: add a QSO via the callsign entry line, then find it with the
+    search entry (reference logger dialogs, utils:1829-2093)."""
+    from supersdr_tpu.control.logbook import Logbook
+    m = make_model(tmp_path)
+    m.logbook = Logbook(tmp_path / "log.sdr")
+    m.handle_key("0")
+    assert m.text_entry == ("qso_add", "")
+    for ch in "IK1ABC":
+        m.handle_key(ch)
+    m.handle_key("ENTER")
+    assert m.text_entry is None
+    assert len(m.logbook) == 1
+    assert m.logbook.qsos[0].callsign == "IK1ABC"
+    assert m.logbook.qsos[0].freq_khz == 14200.0
+
+    m.handle_key("9")
+    for ch in "ik1":
+        m.handle_key(ch)
+    m.handle_key("\r")
+    assert "1 QSO(s) IK1" in m.message
+    # persisted: a fresh book reloads it
+    assert len(Logbook(tmp_path / "log.sdr")) == 1
+
+
+def test_agc_keys(tmp_path):
+    m = make_model(tmp_path)
+    t0 = m.rx.agc.thresh
+    m.handle_key("1")
+    assert m.rx.agc.thresh == t0 - 5
+    m.handle_key("2")
+    assert m.rx.agc.thresh == t0
+    d0 = m.rx.agc.decay
+    m.handle_key("@")
+    assert m.rx.agc.decay == d0 + 200
+    m.handle_key("!")
+    assert m.rx.agc.decay == d0
+
+
+def test_wf_autoscale_and_fill_keys(tmp_path):
+    m = make_model(tmp_path)
+    m.handle_key(",")
+    m.handle_key("'")
+    assert m.wf_delta_high_db != 0.0 and m.wf_delta_low_db != 0.0
+    m.handle_key("3")
+    assert m.wf_delta_high_db == 0.0 and m.wf_delta_low_db == 0.0
+    assert m.spectrum_fill
+    m.handle_key("4")
+    assert not m.spectrum_fill
+    row = np.linspace(0, 255, 64)
+    assert tui.spectrum_row_text(row, 32, fill=False) != \
+        tui.spectrum_row_text(row, 32, fill=True)
