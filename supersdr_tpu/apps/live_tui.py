@@ -219,8 +219,36 @@ def ansi_render(lines: list[str]) -> None:
     sys.stdout.flush()
 
 
-def stdin_keys() -> Callable[[], list[str]]:
-    """Non-blocking raw-mode key reader for a TTY (arrow-key aware)."""
+def parse_escape(seq: str):
+    """CSI sequence (after ESC) → key name or MOUSE tuple.
+
+    Handles cursor/page keys and SGR-1006 mouse reports
+    `[<b;x;yM` — b 0 = left click, 64/65 = wheel (the reference's
+    click-to-tune and wheel-zoom gestures, supersdr.py:836-873)."""
+    named = {"[A": "UP", "[B": "DOWN", "[C": "RIGHT", "[D": "LEFT",
+             "[5~": "PGUP", "[6~": "PGDN"}
+    if seq in named:
+        return named[seq]
+    if seq.startswith("[<") and seq[-1] in "Mm":
+        try:
+            b, x, y = (int(v) for v in seq[2:-1].split(";"))
+        except ValueError:
+            return "ESC"
+        if seq[-1] == "m":          # release — ignore
+            return None
+        if b == 64:
+            return ("MOUSE", "wheel_up", x - 1, y - 1)
+        if b == 65:
+            return ("MOUSE", "wheel_down", x - 1, y - 1)
+        if b in (0, 32):            # left press / drag
+            return ("MOUSE", "click", x - 1, y - 1)
+        return None
+    return "ESC"
+
+
+def stdin_keys(mouse: bool = True) -> Callable[[], list]:
+    """Non-blocking raw-mode key reader for a TTY (arrow keys + SGR
+    mouse reporting; `.restore()` resets the terminal)."""
     import select
     import termios
     import tty
@@ -228,23 +256,36 @@ def stdin_keys() -> Callable[[], list[str]]:
     fd = sys.stdin.fileno()
     old = termios.tcgetattr(fd)
     tty.setcbreak(fd)
+    if mouse:
+        sys.stdout.write("\x1b[?1000h\x1b[?1006h")
+        sys.stdout.flush()
 
-    esc_map = {"[A": "UP", "[B": "DOWN", "[C": "RIGHT", "[D": "LEFT",
-               "[5": "PGUP", "[6": "PGDN"}
+    def _ready():
+        return select.select([sys.stdin], [], [], 0)[0]
 
-    def poll() -> list[str]:
+    def poll() -> list:
         out = []
-        while select.select([sys.stdin], [], [], 0)[0]:
+        while _ready():
             ch = sys.stdin.read(1)
-            if ch == "\x1b":
-                seq = sys.stdin.read(2)
-                key = esc_map.get(seq, "ESC")
-                if key in ("PGUP", "PGDN"):
-                    sys.stdin.read(1)  # trailing '~'
-                out.append(key)
-            else:
+            if ch != "\x1b":
                 out.append(ch)
+                continue
+            seq = ""
+            while _ready() and len(seq) < 24:
+                c = sys.stdin.read(1)
+                seq += c
+                if len(seq) >= 2 and c.isalpha() or c == "~":
+                    break
+            key = parse_escape(seq) if seq else "ESC"
+            if key is not None:
+                out.append(key)
         return out
 
-    poll.restore = lambda: termios.tcsetattr(fd, termios.TCSADRAIN, old)
+    def restore():
+        if mouse:
+            sys.stdout.write("\x1b[?1006l\x1b[?1000l")
+            sys.stdout.flush()
+        termios.tcsetattr(fd, termios.TCSADRAIN, old)
+
+    poll.restore = restore
     return poll

@@ -48,6 +48,7 @@ HELP_LINES = [
     "  E          record audio    i EIBI overlay  d DX cluster  s CAT sync",
     "  1/2        AGC threshold -/+   !/@ AGC decay -/+   3 WF autoscale",
     "  0/9        log QSO / search log (callsign entry)   4 spectrum fill",
+    "  mouse      left-click span to tune, wheel to zoom",
     "  ?          toggle this help          q quit",
 ]
 
@@ -177,9 +178,13 @@ class TuiModel:
             self.rx.tune(freq_khz, auto_mode=self.auto_mode)
             self.pan.follow(self.rx.freq)
 
-    def handle_key(self, key: str) -> bool:
-        """Returns False to quit."""
+    def handle_key(self, key) -> bool:
+        """Returns False to quit. `key` is a string key name or a
+        ("MOUSE", event, col, row) tuple from the terminal reader."""
         rx, pan = self.rx, self.pan
+        if isinstance(key, tuple) and key and key[0] == "MOUSE":
+            self.handle_mouse(*key[1:])
+            return True
         # text-entry mode (QSO add/search) captures everything until Enter
         if self.text_entry is not None:
             purpose, buf = self.text_entry
@@ -332,6 +337,27 @@ class TuiModel:
         elif key == "?":
             self.show_help = not self.show_help
         return True
+
+    def handle_mouse(self, event: str, col: int, row: int = 0) -> None:
+        """Mouse gestures on the span (reference click_freq resolution,
+        supersdr.py:836-873): left click tunes the RX to the clicked
+        frequency (CW: BFO-corrected like keyboard entry); wheel zooms
+        around the current RX frequency."""
+        pan = self.pan
+        if event == "click":
+            f = pan.start_f_khz + (col + 0.5) / self.width * pan.span_khz
+            f = round(f * 10.0) / 10.0          # 100 Hz step grid
+            if self.rx.radio_mode == "CW":
+                from supersdr_tpu.ops.passband import CW_PITCH_HZ
+                f -= CW_PITCH_HZ / 1000.0
+            self._tune(f)
+            self.message = f"tuned {self.rx.freq:.1f} kHz"
+        elif event in ("wheel_up", "wheel_down"):
+            d = 1 if event == "wheel_up" else -1
+            if self.links is not None:
+                self.links.zoom(d)
+            else:
+                pan.set_freq_zoom(self.rx.freq, pan.zoom + d)
 
     # ---------------------------------------------------------- rendering
 

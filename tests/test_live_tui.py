@@ -227,3 +227,39 @@ def test_kiwi_tui_uses_server_waterfall(tmp_path):
     # zoom key propagated to the W/F stream
     zooms = [c for c in server.commands if "zoom=" in c]
     assert any("zoom=9" in z for z in zooms), zooms[-3:]  # default -z 8, UP -> 9
+
+
+def test_parse_escape_sequences():
+    from supersdr_tpu.apps.live_tui import parse_escape
+    assert parse_escape("[A") == "UP"
+    assert parse_escape("[5~") == "PGUP"
+    assert parse_escape("[<0;41;7M") == ("MOUSE", "click", 40, 6)
+    assert parse_escape("[<64;10;2M") == ("MOUSE", "wheel_up", 9, 1)
+    assert parse_escape("[<65;10;2M") == ("MOUSE", "wheel_down", 9, 1)
+    assert parse_escape("[<0;41;7m") is None        # release ignored
+    assert parse_escape("[Z") == "ESC"
+
+
+def test_mouse_click_tunes_and_wheel_zooms(tmp_path):
+    """Click on the span tunes the RX to the clicked frequency (reference
+    click_freq, supersdr.py:836-873); wheel zooms."""
+    from supersdr_tpu.apps import tui
+    from supersdr_tpu.control.panadapter import Panadapter
+    from supersdr_tpu.control.receiver import Receiver
+    from supersdr_tpu.runtime import chain
+
+    cfg = chain.ChainConfig(mode="USB", chunk=2048, os_block=2048,
+                            n_taps=129)
+    rx = Receiver(cfg=cfg, center_freq_khz=14200.0, freq=14200.0,
+                  radio_mode="USB")
+    pan = Panadapter(zoom=8, freq_khz=14200.0)
+    m = tui.TuiModel(rx=rx, pan=pan, width=100)
+    # click at 3/4 of the span
+    m.handle_key(("MOUSE", "click", 75, 5))
+    expect = pan.start_f_khz + 75.5 / 100 * pan.span_khz
+    assert abs(rx.freq - expect) < pan.span_khz / 100
+    z0 = pan.zoom
+    m.handle_key(("MOUSE", "wheel_up", 10, 1))
+    assert pan.zoom == z0 + 1
+    m.handle_key(("MOUSE", "wheel_down", 10, 1))
+    assert pan.zoom == z0
