@@ -141,8 +141,15 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
         in_specs=(params_spec, state_spec, cx.CX(P(), P())),
         out_specs=(state_spec, P()), check_vma=False)
     jitted = jax.jit(sharded)
+    from jax.sharding import NamedSharding
+    state_shardings = jax.tree.map(lambda p: NamedSharding(mesh, p),
+                                   state_spec,
+                                   is_leaf=lambda x: isinstance(x, P))
 
     def process(params, state, iq_microbatches):
+        # pre-place the state: one jit signature for host-initialized and
+        # chained device states (avoids a second compile on call 2)
+        state = jax.device_put(state, state_shardings)
         return jitted(params, state, cx.as_cx(iq_microbatches))
 
     return process

@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from supersdr_tpu.ops import channelizer, cx, scans
 from supersdr_tpu.runtime import chain as chain_mod
@@ -97,9 +97,15 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
                             in_specs=(params_spec, state_spec, cxspec(AXIS)),
                             out_specs=out_spec, check_vma=False)
     jitted = jax.jit(sharded)
+    state_shardings = jax.tree.map(lambda p: NamedSharding(mesh, p),
+                                   state_spec,
+                                   is_leaf=lambda x: isinstance(x, P))
 
     def process(params, state, iq):
         """iq: [chunk_in] — CX or complex numpy (split host-side)."""
+        # pre-place the state so host-initialized and chained device states
+        # share one jit signature (avoids a second compile on call 2)
+        state = jax.device_put(state, state_shardings)
         return jitted(params, state, cx.as_cx(iq))
 
     return process
