@@ -46,12 +46,17 @@ SMALL = dict(fs_in=192_000, n_chan=16, chunk_in=32_768, mode="AM",
              taps_per=8, n_taps=257, audio_rate=48_000)
 
 # Headline: 2560 AM receivers from a 30.72 MHz capture. chunk_per_chan is
-# chosen so the overlap-save segment (block + n_taps - 1) exactly fills
-# the pow2 FFT (16384) — 1.6 % window overhead instead of 27 % padding.
+# chosen so the matmul-FIR blocks tile evenly (63 × 256) and the fallback
+# FFT segment exactly fills the pow2 16384. Tuning fields are the winners
+# of the on-chip A/B matrix (benchmarks/ab_passband.py, results in
+# docs/PERFORMANCE.md): Toeplitz-matmul passband at HIGH precision
+# (82 dB oracle SNR retained) + MXU four-step channelizer FFT.
 HEADLINE = dict(fs_in=30_720_000, n_chan=2560,
                 chunk_in=2560 * (16384 - 256), mode="AM",
-                taps_per=8, n_taps=257, audio_rate=48_000)
-N_SCAN = 2          # chunks per scanned device program
+                taps_per=8, n_taps=257, audio_rate=48_000,
+                passband_impl="matmul", passband_precision="high",
+                mxu_chan_fft=True)
+N_SCAN = int(os.environ.get("BENCH_N_SCAN", "2"))  # chunks per device program
 MIN_MEASURE_S = 2.0
 
 _ORACLE_SRC = """
@@ -80,12 +85,17 @@ def _snr_db(ref: np.ndarray, got: np.ndarray) -> float:
 
 
 def integrity_check() -> dict:
-    """Small-config cross-backend validation with full audio readback."""
+    """Small-config validation with full audio readback: the device runs
+    the HEADLINE's tuned pipeline (matmul passband, MXU FFT) while the
+    CPU oracle runs the plain FFT path — so the gate is cross-backend AND
+    cross-implementation."""
     import jax.numpy as jnp
 
     from supersdr_tpu.runtime import wideband
 
-    cfg = wideband.WidebandConfig(**SMALL)
+    tuning = {k: HEADLINE[k] for k in ("passband_impl", "passband_precision",
+                                       "mxu_chan_fft") if k in HEADLINE}
+    cfg = wideband.WidebandConfig(**SMALL, **tuning)
     rng = np.random.default_rng(0)
     iq = ((rng.normal(size=(2, cfg.chunk_in))
            + 1j * rng.normal(size=(2, cfg.chunk_in))) * 0.05

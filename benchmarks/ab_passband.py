@@ -128,6 +128,11 @@ def main():
         {"passband_impl": "fft", "pallas_fold": False},
         {"passband_impl": "matmul", "pallas_fold": False},
         {"passband_impl": "matmul", "pallas_fold": True},
+        {"passband_impl": "matmul", "passband_precision": "high"},
+        {"passband_impl": "matmul", "resample_impl": "fma"},
+        {"passband_impl": "matmul", "mxu_chan_fft": True},
+        {"passband_impl": "matmul", "passband_precision": "high",
+         "mxu_chan_fft": True},
     ]
     if len(sys.argv) > 1:          # run a subset: indices as args
         variants = [variants[int(a)] for a in sys.argv[1:]]

@@ -5,6 +5,14 @@ Builds a family of truncated pipelines — channelize only, +passband,
 HEADLINE config with fetch-forced methodology, and reports per-stage
 time as consecutive differences. One JSON line per prefix.
 
+CAVEAT (learned the hard way, round 2): prefix deltas are a *ranking*
+signal, not ground truth. Each truncated program fuses/DCEs differently
+from the full pipeline, so a stage's delta can be badly inflated (the
+resample delta read 47 ms here while replacing it changed the full
+pipeline by ~0). Any optimization decided from this profile must be
+confirmed by a FULL-pipeline A/B (benchmarks/ab_passband.py) before it
+becomes a default.
+
 Usage: python benchmarks/stage_profile.py [fft|matmul] [pallas]
 """
 

@@ -90,8 +90,8 @@ def init_carry(plan: PFBPlan, batch_shape: tuple[int, ...] = ()) -> cx.CX:
     return cx.zeros(batch_shape + (plan.history,))
 
 
-def channelize_c(plan: PFBPlan, W: jax.Array, carry: jax.Array, x: jax.Array
-                 ) -> tuple[jax.Array, jax.Array]:
+def channelize_c(plan: PFBPlan, W: jax.Array, carry: jax.Array, x: jax.Array,
+                 mxu_fft: bool = False) -> tuple[jax.Array, jax.Array]:
     """One streaming step on complex arrays — traced contexts only
     (complex64 cannot cross TPU program boundaries; use `channelize` for
     the public split-complex entry point). x: [*batch, n] complex64 with
@@ -138,15 +138,26 @@ def channelize_c(plan: PFBPlan, W: jax.Array, carry: jax.Array, x: jax.Array
                + jnp.arange(plan.window_len)[None, :])
         frames = seg[..., idx]                    # [..., n_frames, K·M]
         fold = (frames * g).reshape(*frames.shape[:-1], K, M).sum(-2)
-    spec = jnp.fft.fft(fold, axis=-1)             # [..., n_frames, M]
+    if mxu_fft and cx.fft_supported(M):
+        # MXU four-step FFT: ahead of the FFT HLO in isolation (10.6 vs
+        # 12.3 ms/chunk at M=2560) but A/B'd at the pipeline level before
+        # enabling — in-context fusion can invert isolated wins
+        spec_cx = cx.fft(cx.split(fold))
+        spec = cx.to_complex(spec_cx)             # stays split inside jit
+    else:
+        spec = jnp.fft.fft(fold, axis=-1)         # [..., n_frames, M]
 
     # (KM-1) - s_t = history - t·hop  (mod M); for critical sampling
-    # (hop = M) this is 0 — no rotation at all.
-    m_idx = jnp.arange(M)
-    t_idx = jnp.arange(n_frames)
-    rot = (plan.history - t_idx[:, None] * hop) % M
-    phase = jnp.exp((2j * jnp.pi / M) * (m_idx[None, :] * rot))
-    chans = spec * phase.astype(spec.dtype)
+    # (hop = M) history = (K-1)·M so rot ≡ 0 — statically skip the
+    # rotation (two full passes over the spectrum otherwise)
+    if hop == M:
+        chans = spec
+    else:
+        m_idx = jnp.arange(M)
+        t_idx = jnp.arange(n_frames)
+        rot = (plan.history - t_idx[:, None] * hop) % M
+        phase = jnp.exp((2j * jnp.pi / M) * (m_idx[None, :] * rot))
+        chans = spec * phase.astype(spec.dtype)
 
     new_carry = seg[..., -plan.history:]
     out = jnp.moveaxis(chans, -2, -1)             # [..., M, n_frames]

@@ -76,24 +76,36 @@ def init_carry(plan: InterpPlan, batch_shape: tuple[int, ...] = (),
     return jnp.zeros(batch_shape + (plan.history,), dtype=dtype)
 
 
-@partial(jax.jit, static_argnums=0)
+@partial(jax.jit, static_argnums=(0, 4))
 def interpolate(plan: InterpPlan, P: jax.Array, carry: jax.Array,
-                x: jax.Array) -> tuple[jax.Array, jax.Array]:
+                x: jax.Array, impl: str = "einsum"
+                ) -> tuple[jax.Array, jax.Array]:
     """One streaming step: x[*batch, n] → y[*batch, n*L].
 
     Matches the reference zero-stuff + valid-convolve + ×L pipeline sample
     for sample (given the same taps and zero initial history).
+
+    Two formulations (identical outputs; A/B'd at the pipeline level on
+    chip — see docs/PERFORMANCE.md):
+      "einsum": stack `per` shifted slices → one MXU matmul [.., n, per] @
+                [per, L].
+      "fma":    broadcast FMA chain y[.., t, p] = Σ_m seg[t+m]·P[m, p] —
+                pure elementwise VPU work, no frames materialization.
     """
     seg = jnp.concatenate([carry, x], axis=-1)          # [..., hist + n]
     n = x.shape[-1]
-    # frames[..., t, p] = seg[t + p]: `per` shifted slices stacked, NOT a
-    # gather (XLA's TPU gather lowering is pathologically slow); the
-    # polyphase product then runs as one MXU matmul
-    frames = jnp.stack([seg[..., p:p + n] for p in range(plan.per)],
-                       axis=-1)                          # [..., n, per]
-    y = jnp.einsum("...np,pl->...nl", frames, P.astype(frames.dtype),
-                   precision=jax.lax.Precision.HIGHEST)
-    y = y.reshape(*x.shape[:-1], n * plan.L)
+    if impl == "fma":
+        Pf = P.astype(seg.dtype)
+        y = seg[..., 0:n, None] * Pf[0]
+        for m in range(1, plan.per):
+            y = y + seg[..., m:m + n, None] * Pf[m]     # [..., n, L]
+        y = y.reshape(*x.shape[:-1], n * plan.L)
+    else:
+        frames = jnp.stack([seg[..., p:p + n] for p in range(plan.per)],
+                           axis=-1)                     # [..., n, per]
+        y = jnp.einsum("...np,pl->...nl", frames, P.astype(frames.dtype),
+                       precision=jax.lax.Precision.HIGHEST)
+        y = y.reshape(*x.shape[:-1], n * plan.L)
     new_carry = seg[..., -plan.history:] if plan.history else seg[..., :0]
     return new_carry, y
 

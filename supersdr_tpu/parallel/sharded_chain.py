@@ -126,7 +126,8 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
         ihalo = scans.left_halo(audio, iplan.history, TIME_AXIS)
         ihead = jnp.where(t_idx == 0, state.interp_carry, ihalo)
         icarry, out_audio = resample.interpolate(iplan, params.P_interp,
-                                                 ihead, audio)
+                                                 ihead, audio,
+                                                 cfg.resample_impl)
     new_state = ChainState(phase=phase_out, os_carry=os_carry, demod=dstate,
                            agc=astate, interp_carry=icarry,
                            squelch=sq_state)

@@ -70,6 +70,12 @@ class ChainConfig:
                                 # "matmul" = blocked-Toeplitz MXU FIR
                                 # (ops/fir_matmul.py; A/B'd on-chip in
                                 # docs/PERFORMANCE.md)
+    passband_precision: str = "highest"  # matmul impl only: "highest"
+                                # (6-pass bf16, ~f32-exact) or "high"
+                                # (3-pass, faster; gate on oracle SNR)
+    resample_impl: str = "einsum"  # "einsum" (stacked frames → MXU) or
+                                # "fma" (broadcast FMA chain); identical
+                                # outputs, A/B'd on-chip
 
     def __post_init__(self):
         if self.chunk % self.os_block:
@@ -255,8 +261,10 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
     # 2. passband selection: batched overlap-save rows, or the FFT-free
     #    blocked-Toeplitz MXU matmul (same streaming state either way)
     if cfg.passband_impl == "matmul":
+        prec = jax.lax.Precision(cfg.passband_precision.lower())
         _, y_cx = fir_matmul.fir_matmul_stream_c(cfg.fir_plan, params.W_pass,
-                                                 state.os_carry, cx.split(x))
+                                                 state.os_carry, cx.split(x),
+                                                 precision=prec)
         y = cx.to_complex(y_cx)
         y_rows = y.reshape(*batch, n_rows, cfg.os_block)
     else:
@@ -296,7 +304,8 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
         icarry, out_audio = resample.interpolate(cfg.interp_plan,
                                                  params.P_interp,
                                                  state.interp_carry,
-                                                 audio.astype(jnp.float32))
+                                                 audio.astype(jnp.float32),
+                                                 cfg.resample_impl)
 
     new_state = ChainState(phase=phase, os_carry=os_carry, demod=dstate,
                            agc=astate, interp_carry=icarry,

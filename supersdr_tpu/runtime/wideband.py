@@ -38,6 +38,10 @@ class WidebandConfig:
                                         # on-chip in docs/PERFORMANCE.md)
     passband_impl: str = "fft"          # chain passband: "fft" overlap-save
                                         # or "matmul" Toeplitz MXU FIR
+    passband_precision: str = "highest"  # matmul precision (see ChainConfig)
+    resample_impl: str = "einsum"       # see ChainConfig.resample_impl
+    mxu_chan_fft: bool = False          # channelizer FFT via the MXU
+                                        # four-step instead of the FFT HLO
 
     def __post_init__(self):
         if self.fs_in % self.n_chan:
@@ -65,7 +69,9 @@ class WidebandConfig:
                                  n_taps=self.n_taps,
                                  agc_decimation=self.agc_decimation,
                                  nco_enabled=False,
-                                 passband_impl=self.passband_impl)
+                                 passband_impl=self.passband_impl,
+                                 passband_precision=self.passband_precision,
+                                 resample_impl=self.resample_impl)
 
 
 class WidebandParams(NamedTuple):
@@ -117,7 +123,7 @@ def process_traced(cfg: WidebandConfig, params: WidebandParams,
     else:
         pfb_carry, chans = channelizer.channelize_c(
             plan, params.W_pfb, cx.to_complex(state.pfb_carry),
-            cx.to_complex(iq))
+            cx.to_complex(iq), mxu_fft=cfg.mxu_chan_fft)
     cstate, out = chain.process_traced(cfg.chain_cfg, params.chain,
                                        state.chain, cx.split(chans))
     return (WidebandState(pfb_carry=cx.split(pfb_carry), chain=cstate), out)

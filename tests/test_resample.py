@@ -103,3 +103,20 @@ def test_rational_streaming_continuity(rng):
                                              jnp.asarray(x[2000:]))
     np.testing.assert_allclose(np.concatenate([y1, y2]), np.asarray(y_full),
                                atol=1e-5)
+
+
+def test_interpolate_impls_agree(rng):
+    """The einsum and broadcast-FMA formulations are the same math; their
+    outputs must agree to float accumulation order."""
+    import jax.numpy as jnp
+
+    from supersdr_tpu.ops import resample
+    plan, P = resample.design_interp(12000, 48000)
+    x = rng.normal(size=(3, 4096)).astype(np.float32)
+    carry = resample.init_carry(plan, (3,))
+    _, a = resample.interpolate(plan, jnp.asarray(P, jnp.float32), carry, x,
+                                "einsum")
+    _, b = resample.interpolate(plan, jnp.asarray(P, jnp.float32), carry, x,
+                                "fma")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-6)
