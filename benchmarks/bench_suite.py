@@ -48,7 +48,10 @@ def bench_wideband():
 
     cfg = wideband.WidebandConfig(fs_in=30_720_000, n_chan=2560,
                                   chunk_in=2560 * (16384 - 256), mode="AM",
-                                  taps_per=8, n_taps=257, audio_rate=48_000)
+                                  taps_per=8, n_taps=257, audio_rate=48_000,
+                                  passband_impl="matmul",
+                                  passband_precision="high",
+                                  mxu_chan_fft=True)
     params = wideband.make_params(cfg)
     state = wideband.init_state(cfg)
     rng = np.random.default_rng(0)
