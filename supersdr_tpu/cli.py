@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     d.add_argument("--agc-off", action="store_true")
     d.add_argument("--agc-decay", type=int, default=4000)
     d.add_argument("--agc-thresh", type=int, default=-80)
+    d.add_argument("--passband", default="fft", choices=("fft", "matmul"),
+                   help="passband filter implementation (see wideband)")
 
     w = sub.add_parser("waterfall", help="render a waterfall PNG")
     w.add_argument("input")
@@ -133,7 +135,8 @@ def cmd_demod(args) -> int:
     M = fs // int(np.gcd(fs, audio_rate))
     chunk = (8192 // M) * M
     cfg = chain.ChainConfig(mode=args.mode, iq_rate=fs, audio_rate=audio_rate,
-                            chunk=chunk, os_block=chunk)
+                            chunk=chunk, os_block=chunk,
+                            passband_impl=args.passband)
     agc_kwargs = (dict(on=False) if args.agc_off
                   else dict(decay_ms=float(args.agc_decay),
                             thresh_db=float(args.agc_thresh)))

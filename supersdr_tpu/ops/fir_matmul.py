@@ -151,7 +151,9 @@ def fir_matmul_stream_c(plan: FIRMatmulPlan, W: jax.Array, carry: cx.CX,
     yi = y2[..., B:].reshape(*x.shape[:-1], -1)[..., :chunk]
     # carry comes from the true (unpadded) input tail; short chunks
     # (chunk < overlap) keep the older history prefix
-    if chunk >= plan.overlap:
+    if plan.overlap == 0:
+        new_carry = cx.CX(x.re[..., :0], x.im[..., :0])
+    elif chunk >= plan.overlap:
         new_carry = cx.CX(x.re[..., -plan.overlap:], x.im[..., -plan.overlap:])
     else:
         new_carry = cx.CX(

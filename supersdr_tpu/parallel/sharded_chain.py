@@ -81,7 +81,8 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
                                                    cx.to_complex(params.H_pass),
                                                    head, rows)
         y = y_rows.reshape(*batch, cfg.chunk)
-    os_carry = cx.split(x[..., -plan.overlap:])
+    os_carry = cx.split(x[..., -plan.overlap:] if plan.overlap
+                        else x[..., :0])
 
     rssi = smeter.rssi_db(y_rows)
 

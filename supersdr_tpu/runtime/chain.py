@@ -274,7 +274,9 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
                                                    cx.to_complex(state.os_carry),
                                                    rows)
         y = y_rows.reshape(*batch, cfg.chunk)
-    os_carry = cx.split(x[..., -plan.overlap:])
+    # NB x[..., -0:] would be the whole array — guard the overlap-0 case
+    os_carry = cx.split(x[..., -plan.overlap:] if plan.overlap
+                        else x[..., :0])
 
     # 3. per-row RSSI from the passband signal (the reference receives one
     #    RSSI per 512-sample SND frame; here one per overlap-save row)

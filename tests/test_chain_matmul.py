@@ -92,3 +92,21 @@ def test_sharded_matmul_matches_serial(rng):
     # partitions; agreement is relative-precision level
     np.testing.assert_allclose(got, np.asarray(ser_out.audio),
                                rtol=2e-5, atol=2e-4)
+
+
+def test_single_tap_passband_streams(rng):
+    """n_taps=1 (overlap 0) must stream: the x[..., -0:] slice pitfall
+    returned the whole chunk as carry and broke the scan carry shapes."""
+    for impl in ("fft", "matmul"):
+        cfg = chain.ChainConfig(mode="AM", iq_rate=12000, audio_rate=48000,
+                                chunk=1024, os_block=1024, n_taps=1,
+                                passband_impl=impl)
+        params = chain.make_params(cfg)
+        state = chain.init_state(cfg)
+        iq = ((rng.normal(size=2048) + 1j * rng.normal(size=2048)) * 0.1
+              ).astype(np.complex64)
+        for i in range(2):
+            state, out = chain.process(cfg, params, state,
+                                       iq[i * 1024:(i + 1) * 1024])
+            assert state.os_carry.re.shape[-1] == 0
+            assert np.isfinite(np.asarray(out.audio)).all()
