@@ -133,6 +133,8 @@ def main():
         {"passband_impl": "matmul", "mxu_chan_fft": True},
         {"passband_impl": "matmul", "passband_precision": "high",
          "mxu_chan_fft": True},
+        {"passband_impl": "matmul_real", "passband_precision": "high",
+         "mxu_chan_fft": True},
     ]
     if len(sys.argv) > 1:          # run a subset: indices as args
         variants = [variants[int(a)] for a in sys.argv[1:]]

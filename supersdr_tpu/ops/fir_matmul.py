@@ -172,3 +172,52 @@ def fir_matmul_stream(plan: FIRMatmulPlan, W, carry, x
                       ) -> tuple[cx.CX, cx.CX]:
     """Public streaming step: accepts CX / complex numpy inputs."""
     return _fir_matmul_cx(plan, W, cx.as_cx(carry), cx.as_cx(x))
+
+
+def build_w_real(plan: FIRMatmulPlan, taps: np.ndarray) -> jax.Array:
+    """[window, block] real matmul matrix for REAL taps (the modulated
+    passband path: a real lowpass prototype applied to a basebanded
+    stream — half the FLOPs of the complex-folded `build_w`)."""
+    taps = np.asarray(taps, np.float64)
+    if len(taps) != plan.n_taps:
+        raise ValueError(f"taps length {len(taps)} != plan {plan.n_taps}")
+    S, B = plan.window, plan.block
+    p = plan.n_prev * B
+    o = np.arange(B)[None, :]
+    s = np.arange(S)[:, None]
+    k = o - s + p
+    valid = (k >= 0) & (k < plan.n_taps)
+    w = np.where(valid, taps[np.clip(k, 0, plan.n_taps - 1)], 0.0)
+    return jnp.asarray(w, jnp.float32)
+
+
+def fir_matmul_stream_real_c(plan: FIRMatmulPlan, W: jax.Array, carry: cx.CX,
+                             x: cx.CX, *,
+                             precision=jax.lax.Precision.HIGHEST
+                             ) -> tuple[cx.CX, cx.CX]:
+    """Streaming REAL-taps FIR on a complex stream: each plane filters
+    independently through one [window, block] matmul (W from
+    `build_w_real`). Same carry/windowing semantics as the complex form."""
+    B = plan.block
+    chunk = x.shape[-1]
+    pad_n = (-chunk) % B
+    xp = x
+    if pad_n:
+        zpad = jnp.zeros((*x.shape[:-1], pad_n), x.re.dtype)
+        xp = cx.CX(jnp.concatenate([x.re, zpad], axis=-1),
+                   jnp.concatenate([x.im, zpad], axis=-1))
+    zr = _windows(plan, carry.re, xp.re)
+    zi = _windows(plan, carry.im, xp.im)
+    z = jnp.stack([zr, zi], axis=-3)                  # [..., 2, nb, window]
+    y2 = jnp.einsum("...bs,so->...bo", z, W, precision=precision)
+    yr = y2[..., 0, :, :].reshape(*x.shape[:-1], -1)[..., :chunk]
+    yi = y2[..., 1, :, :].reshape(*x.shape[:-1], -1)[..., :chunk]
+    if plan.overlap == 0:
+        new_carry = cx.CX(x.re[..., :0], x.im[..., :0])
+    elif chunk >= plan.overlap:
+        new_carry = cx.CX(x.re[..., -plan.overlap:], x.im[..., -plan.overlap:])
+    else:
+        new_carry = cx.CX(
+            jnp.concatenate([carry.re[..., chunk:], x.re], axis=-1),
+            jnp.concatenate([carry.im[..., chunk:], x.im], axis=-1))
+    return new_carry, cx.CX(yr, yi)

@@ -147,6 +147,10 @@ def build(cfg: ChainConfig, mesh: Mesh):
     time shard), directly usable for the next call.
     """
     n_time = mesh.shape[TIME_AXIS]
+    if cfg.passband_impl == "matmul_real":
+        raise ValueError("passband_impl='matmul_real' is serial-only for "
+                         "now (its rotation params are passband-dependent "
+                         "structure); use 'matmul' on the mesh")
 
     def cxspec(*p):
         return cx.CX(P(*p), P(*p))

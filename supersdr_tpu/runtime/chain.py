@@ -82,8 +82,9 @@ class ChainConfig:
             raise ValueError("chunk must be a multiple of os_block")
         if self.n_taps % 2 == 0:
             raise ValueError("n_taps must be odd")
-        if self.passband_impl not in ("fft", "matmul"):
-            raise ValueError("passband_impl must be 'fft' or 'matmul'")
+        if self.passband_impl not in ("fft", "matmul", "matmul_real"):
+            raise ValueError("passband_impl must be 'fft', 'matmul' or "
+                             "'matmul_real'")
         if self.audio_rate % self.iq_rate:
             _, M = self.resample_LM
             if self.chunk % M:
@@ -155,7 +156,14 @@ class ChainParams(NamedTuple):
     squelch: squelch_ops.SquelchParams
     blanker: squelch_ops.BlankerParams
     W_pass: jax.Array | None = None  # [2·window, 2·block] Toeplitz matmul
-                                     # matrix (passband_impl="matmul" only)
+                                     # matrix (passband_impl="matmul"), or
+                                     # [window, block] real prototype matrix
+                                     # (passband_impl="matmul_real")
+    rot_in: cx.CX | None = None      # matmul_real: e^{-jωn} input rotation
+                                     # [chunk] (None when the passband is
+                                     # symmetric — ω snapped to fs/chunk)
+    rot_out: cx.CX | None = None     # matmul_real: e^{+jω(n-c)} output
+                                     # rotation [chunk]
 
 
 class ChainState(NamedTuple):
@@ -206,13 +214,35 @@ def make_params(cfg: ChainConfig,
     nco = mixer.NCOParams.make(-np.asarray(freq_offset_hz, np.float64),
                                cfg.iq_rate, cfg.chunk)
     agc_p = agc_ops.make_params(cfg.iq_rate, **(agc_kwargs or {}))
-    W_pass = (fir_matmul.build_w(cfg.fir_plan, taps)
-              if cfg.passband_impl == "matmul" else None)
+    W_pass, rot_in, rot_out = None, None, None
+    if cfg.passband_impl == "matmul":
+        W_pass = fir_matmul.build_w(cfg.fir_plan, taps)
+    elif cfg.passband_impl == "matmul_real":
+        # modulated-prototype form: filter the basebanded stream with the
+        # REAL lowpass prototype (half the matmul FLOPs), rotating in/out
+        # by e^{∓jωn}. ω is snapped to the fs/chunk grid (≤ fs/2chunk Hz
+        # error) so the rotation vectors are chunk-periodic and streaming
+        # needs no phase state; ω = 0 (symmetric passband, e.g. AM)
+        # statically drops the rotations entirely.
+        center = 0.5 * (lc + hc)
+        half_width = 0.5 * (hc - lc)
+        grid = cfg.iq_rate / cfg.chunk
+        center_s = round(center / grid) * grid
+        proto = firdesign.lowpass_taps_n(half_width, cfg.iq_rate, cfg.n_taps)
+        W_pass = fir_matmul.build_w_real(cfg.fir_plan, proto)
+        if center_s != 0.0:
+            w = 2.0 * np.pi * center_s / cfg.iq_rate
+            ns = np.arange(cfg.chunk)
+            c = (cfg.n_taps - 1) / 2.0
+            rot_in = cx.CX(jnp.asarray(np.cos(-w * ns), jnp.float32),
+                           jnp.asarray(np.sin(-w * ns), jnp.float32))
+            rot_out = cx.CX(jnp.asarray(np.cos(w * (ns - c)), jnp.float32),
+                            jnp.asarray(np.sin(w * (ns - c)), jnp.float32))
     return ChainParams(nco=nco, H_pass=H, P_interp=jnp.asarray(P, jnp.float32),
                        agc=agc_p,
                        squelch=squelch_ops.make_squelch(**(squelch_kwargs or {})),
                        blanker=squelch_ops.make_blanker(**(blanker_kwargs or {})),
-                       W_pass=W_pass)
+                       W_pass=W_pass, rot_in=rot_in, rot_out=rot_out)
 
 
 def init_state(cfg: ChainConfig, batch_shape: tuple[int, ...] = ()
@@ -266,6 +296,22 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
                                                  state.os_carry, cx.split(x),
                                                  precision=prec)
         y = cx.to_complex(y_cx)
+        y_rows = y.reshape(*batch, n_rows, cfg.os_block)
+    elif cfg.passband_impl == "matmul_real":
+        prec = jax.lax.Precision(cfg.passband_precision.lower())
+        xs = cx.split(x)
+        carry = state.os_carry
+        if params.rot_in is not None:
+            rin = params.rot_in
+            xs = xs * rin
+            if plan.overlap:
+                carry = carry * rin[..., -plan.overlap:]
+        _, u = fir_matmul.fir_matmul_stream_real_c(cfg.fir_plan,
+                                                   params.W_pass, carry, xs,
+                                                   precision=prec)
+        if params.rot_out is not None:
+            u = u * params.rot_out
+        y = cx.to_complex(u)
         y_rows = y.reshape(*batch, n_rows, cfg.os_block)
     else:
         rows = x.reshape(*batch, n_rows, cfg.os_block)

@@ -36,8 +36,10 @@ class WidebandConfig:
     pallas_fold: bool = False           # PFB fold via the Pallas DMA kernel
                                         # instead of the XLA gather (A/B'd
                                         # on-chip in docs/PERFORMANCE.md)
-    passband_impl: str = "fft"          # chain passband: "fft" overlap-save
-                                        # or "matmul" Toeplitz MXU FIR
+    passband_impl: str = "fft"          # chain passband: "fft" overlap-save,
+                                        # "matmul" Toeplitz MXU FIR, or
+                                        # "matmul_real" (modulated real
+                                        # prototype, half the matmul FLOPs)
     passband_precision: str = "highest"  # matmul precision (see ChainConfig)
     resample_impl: str = "einsum"       # see ChainConfig.resample_impl
     mxu_chan_fft: bool = False          # channelizer FFT via the MXU

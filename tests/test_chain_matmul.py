@@ -110,3 +110,54 @@ def test_single_tap_passband_streams(rng):
                                        iq[i * 1024:(i + 1) * 1024])
             assert state.os_carry.re.shape[-1] == 0
             assert np.isfinite(np.asarray(out.audio)).all()
+
+
+@pytest.mark.parametrize("mode,cuts,atol", [
+    ("AM", None, 5e-4),            # symmetric: center 0, rotations dropped
+    ("USB", (300, 2700), 5e-4),    # center 1500 Hz = exactly 256 grid steps
+    ("USB", None, 2e-2),           # default 30..3000: center 1515 snaps to
+                                   # the fs/chunk grid (≈2.6 Hz edge shift)
+])
+def test_matmul_real_matches_matmul(rng, mode, cuts, atol):
+    """matmul_real (modulated real prototype) == matmul (complex-folded)
+    exactly when the passband center lands on the fs/chunk grid, and
+    within the documented ≤fs/2chunk snapping error otherwise."""
+    n_chunks, chunk = 3, 2048
+    n = n_chunks * chunk
+    iq = ((rng.normal(size=n) + 1j * rng.normal(size=n)) * 0.1
+          ).astype(np.complex64)
+    base = dict(mode=mode, iq_rate=12000, audio_rate=48000, chunk=chunk,
+                os_block=chunk, n_taps=257)
+    kw = {} if cuts is None else dict(low_cut=cuts[0], high_cut=cuts[1])
+
+    def run(cfg):
+        params = chain.make_params(cfg, freq_offset_hz=1000.0, **kw)
+        state = chain.init_state(cfg)
+        outs = []
+        for i in range(n_chunks):
+            state, out = chain.process(cfg, params, state,
+                                       iq[i * chunk:(i + 1) * chunk])
+            outs.append(np.asarray(out.audio))
+        return np.concatenate(outs)
+
+    a = run(chain.ChainConfig(**base, passband_impl="matmul"))
+    b = run(chain.ChainConfig(**base, passband_impl="matmul_real"))
+    # the snapped case perturbs the AGC warm-up slightly (edge samples of
+    # a 2.6 Hz-shifted passband); compare the settled tail
+    skip = 2 * chunk * 4 if cuts is None and mode == "USB" else 0
+    np.testing.assert_allclose(b[skip:], a[skip:], rtol=0, atol=atol)
+
+
+def test_matmul_real_rotation_structure():
+    """Symmetric passband → no rotation params; asymmetric → both."""
+    cfg = chain.ChainConfig(mode="AM", iq_rate=12000, audio_rate=48000,
+                            chunk=2048, os_block=2048, n_taps=257,
+                            passband_impl="matmul_real")
+    p = chain.make_params(cfg)
+    assert p.rot_in is None and p.rot_out is None
+    cfg2 = chain.ChainConfig(mode="USB", iq_rate=12000, audio_rate=48000,
+                             chunk=2048, os_block=2048, n_taps=257,
+                             passband_impl="matmul_real")
+    p2 = chain.make_params(cfg2)
+    assert p2.rot_in is not None and p2.rot_out is not None
+    assert p2.rot_in.shape == (2048,)
