@@ -263,82 +263,149 @@ def run_kiwi_tui(args) -> int:
     session = LiveTui.create(rx, pan, width=min(term.columns - 2, 160),
                              wf_height=max(4, term.lines - 7), cat=cat)
 
+    # mutable link state so interactive server switching can swap the
+    # live SND/W/F clients between chunks (reference connect_new flow,
+    # supersdr.py:743-796)
+    st = {"client": client, "pending": [first], "chunk": chunk,
+          "rate": kiwi_rate, "buf": np.zeros(0, np.complex64),
+          "wf": None}
+
     # wide-span waterfall from the server's W/F stream (the reference's
     # kiwi_waterfall loop, utils:879-898); native IQ rows are the
     # fallback when a second channel slot isn't available
     from supersdr_tpu.apps.live_tui import wf_row_to_color
-    wf_client = None
     wf_state = {"zoom": pan.zoom, "counter": pan.counter}
-    try:
-        wf_client = KiwiClient(args.kiwiserver, args.kiwiport,
-                               args.password, stream_type="W/F",
-                               timestamp=client.timestamp)
-        wf_client.connect()
-        wf_client.setup_waterfall(zoom=pan.zoom, counter=pan.counter)
-        session.native_waterfall = False
-    except (KiwiError, OSError):
-        wf_client = None
 
-    if wf_client is not None:
+    def _start_wf(host, port, password, timestamp):
+        try:
+            wfc = KiwiClient(host, port, password, stream_type="W/F",
+                             timestamp=timestamp)
+            wfc.connect()
+            wfc.setup_waterfall(zoom=pan.zoom, counter=pan.counter)
+        except (KiwiError, OSError):
+            return None
+        session.native_waterfall = False
+
         def _wf_loop():
             while True:
                 try:
-                    msg = wf_client.read()
+                    msg = wfc.read()
                 except (KiwiError, OSError):
                     return
+                if st["wf"] is not wfc:
+                    return  # superseded by a server switch
                 if isinstance(msg, kp.WfFrame):
                     session.model.push_row(wf_row_to_color(
-                        wf_client.wf_bins(msg), wf_state["zoom"],
+                        wfc.wf_bins(msg), wf_state["zoom"],
                         session.model.wf_delta_low_db,
                         session.model.wf_delta_high_db))
                     try:
-                        wf_client.keepalive()
+                        wfc.keepalive()
                     except OSError:
                         pass
 
         threading.Thread(target=_wf_loop, daemon=True).start()
+        return wfc
+
+    st["wf"] = _start_wf(args.kiwiserver, args.kiwiport, args.password,
+                         client.timestamp)
 
     def wf_sync():
         """Re-tune the W/F stream when zoom/span keys moved the span
         (reference set_freq_zoom → SET zoom=.. start=.., utils:815-845)."""
-        if wf_client is None:
+        if st["wf"] is None:
             return
         if (pan.zoom, pan.counter) != (wf_state["zoom"], wf_state["counter"]):
             wf_state["zoom"], wf_state["counter"] = pan.zoom, pan.counter
             try:
-                wf_client.send(kp.set_zoom_start(pan.zoom, pan.counter))
+                st["wf"].send(kp.set_zoom_start(pan.zoom, pan.counter))
             except OSError:
                 pass
+
+    # -------- interactive server switching (LiveTui `K` menu)
+    from supersdr_tpu.control.kiwilist import KiwiList
+    session.server_book = KiwiList(getattr(args, "kiwi_list", None)
+                                   or "kiwi.list")
+
+    def do_switch(entry):
+        """Connect to the book entry; on any failure the current server
+        keeps streaming untouched (connect-before-close is strictly
+        safer than the reference's close-then-revert, supersdr.py:743-796
+        — no audible gap on a failed switch)."""
+        host, port, password = entry[0], entry[1], entry[2]
+        try:
+            status = KiwiStatus.fetch(host, port)
+            status.gate()
+        except KiwiGateError as e:
+            return False, f"switch refused: {e} — staying"
+        except OSError:
+            pass  # old firmware without /status
+        try:
+            nc = KiwiClient(host, port, password)
+            nc.connect()
+            nc.setup_sound("IQ", -5000, 5000, rx.freq)
+            nf = nc.wait_for_stream()
+        except (KiwiError, OSError) as e:
+            return False, f"switch failed ({type(e).__name__}) — staying"
+        new_rate = nc.info.audio_rate or 12000
+        old = st["client"]
+        if new_rate != st["rate"]:
+            # different IQ rate: rebuild the chain cfg, reset the stream
+            # state (the reference rebuilds kiwi_sound outright)
+            cfg2 = _session_chain_cfg(rx.radio_mode, new_rate, 2048)
+            rx.cfg = cfg2
+            rx.state = None
+            rx.refresh_params()
+            st["chunk"] = cfg2.chunk
+            st["rate"] = new_rate
+        st["client"] = nc
+        st["pending"] = [nf]
+        st["buf"] = np.zeros(0, np.complex64)
+        try:
+            old.close()
+        except OSError:
+            pass
+        if st["wf"] is not None:
+            try:
+                st["wf"].close()
+            except OSError:
+                pass
+        st["wf"] = _start_wf(host, port, password, nc.timestamp)
+        return True, f"switched to {host}:{port}"
+
+    session.switch_server = do_switch
 
     frames_seen = [0]
 
     def source():
-        buf = np.zeros(0, np.complex64)
-        pending = [first]
         while True:
             if args.frames and frames_seen[0] >= args.frames:
                 return
-            frame = pending.pop() if pending else None
+            cli = st["client"]
+            frame = st["pending"].pop() if st["pending"] else None
             if frame is None:
                 try:
-                    msg = client.read()
+                    msg = cli.read()
                 except (KiwiError, OSError):
+                    if st["client"] is not cli:
+                        continue  # server switch closed this client
                     return
                 if not isinstance(msg, kp.SndFrame):
                     continue
                 frame = msg
-            kind, gps, z = client.snd_samples(frame)
+            kind, gps, z = cli.snd_samples(frame)
             if kind != "iq":
                 continue
             frames_seen[0] += 1
             try:
-                client.keepalive()
+                cli.keepalive()
             except OSError:
                 pass
-            buf = np.concatenate([buf, z.astype(np.complex64) / 32768.0])
-            while len(buf) >= chunk:
-                yield buf[:chunk]
-                buf = buf[chunk:]
+            st["buf"] = np.concatenate([st["buf"],
+                                        z.astype(np.complex64) / 32768.0])
+            while len(st["buf"]) >= st["chunk"]:
+                yield st["buf"][:st["chunk"]]
+                st["buf"] = st["buf"][st["chunk"]:]
 
     if args.output:
         rec_sink = audio_sink.WavFileSink(args.output,
@@ -372,9 +439,9 @@ def run_kiwi_tui(args) -> int:
             out = rec_sink.stop()
             if out:
                 print(f"audio written to {out}")
-        if wf_client is not None:
-            wf_client.close()
-        client.close()
+        if st["wf"] is not None:
+            st["wf"].close()
+        st["client"].close()
     print(f"session done: {frames_seen[0]} frames, "
           f"RSSI {rx.smoothed_rssi:.1f} dB")
     return 0

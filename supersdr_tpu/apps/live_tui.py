@@ -44,6 +44,12 @@ class LiveTui:
     main_is_sub: bool = False   # reference main_sub_switch_flag
     native_waterfall: bool = True  # False: rows pushed externally (live
                                    # W/F stream at the panadapter span)
+    # interactive server switching (reference server book + connect_new
+    # flow, supersdr.py:743-796 / utils_supersdr.py:394-547): `K` opens
+    # the book, a digit connects, failure reverts to the live server
+    server_book: object = None         # control.kiwilist.KiwiList
+    switch_server: object = None       # callable(entry) -> (ok, message)
+    server_menu: bool = False
     _win: np.ndarray = field(default=None, repr=False)
     _recorder: object = field(default=None, repr=False)
 
@@ -101,11 +107,41 @@ class LiveTui:
         if self.rx_sub is not None:
             self.rx_sub.tune(self.pan.freq_khz)
 
+    # ------------------------------------------------------ server switch
+
+    def open_server_menu(self) -> None:
+        """`K`: open the server book (reference chooser dialog,
+        utils_supersdr.py:455-547). Digits connect; ESC/K closes."""
+        if self.server_book is None or self.switch_server is None:
+            self.model.message = "no server book"
+            return
+        self.server_menu = not self.server_menu
+
+    def _menu_key(self, key) -> bool:
+        if key in ("ESC", "\x1b", "K", "q"):
+            self.server_menu = False
+            return True
+        if isinstance(key, str) and key.isdigit():
+            idx = int(key) - 1
+            servers = list(self.server_book)
+            if 0 <= idx < len(servers):
+                self.server_menu = False
+                entry = servers[idx]
+                ok, msg = self.switch_server(entry)
+                self.model.message = msg
+            return True
+        return True  # menu swallows everything else
+
     # --------------------------------------------------------------- keys
 
     def handle_key(self, key: str) -> bool:
+        if self.server_menu:
+            return self._menu_key(key)
         if self.model.freq_entry is not None or self.model.text_entry is not None:
             return self.model.handle_key(key)  # entry modes capture all keys
+        if key == "K":
+            self.open_server_menu()
+            return True
         if key == "y":
             self.enable_or_switch_sub()
             return True
@@ -186,8 +222,18 @@ class LiveTui:
                 render(self.render_lines())
 
     def render_lines(self) -> list[str]:
+        if self.server_menu:
+            lines = [" KiwiSDR server book — digit connects, ESC cancels"]
+            for i, (host, port, pw, comment) in enumerate(self.server_book):
+                note = f"  # {comment}" if comment else ""
+                lines.append(f"  {i + 1}. {host}:{port}{note}")
+            if len(lines) == 1:
+                lines.append("  (empty kiwi.list)")
+            return lines
         lines = self.model.render()
+        self.model._row_shift = 0
         if self.rx_sub is not None:
+            self.model._row_shift = 1
             lines.insert(1, f" SUB {self.rx_sub.freq:9.2f} kHz "
                             f"{self.rx_sub.radio_mode:<4} "
                             f"bal {self.rx_sub.audio_balance:+.1f}"
@@ -220,11 +266,16 @@ def ansi_render(lines: list[str]) -> None:
 
 
 def parse_escape(seq: str):
-    """CSI sequence (after ESC) → key name or MOUSE tuple.
+    """CSI sequence (after ESC) → key name or MOUSE tuple, or None for
+    unrecognized sequences (a stray SS3/function-key report must NOT read
+    as ESC — that would silently cancel freq/text entry).
 
-    Handles cursor/page keys and SGR-1006 mouse reports
-    `[<b;x;yM` — b 0 = left click, 64/65 = wheel (the reference's
-    click-to-tune and wheel-zoom gestures, supersdr.py:836-873)."""
+    SGR-1006 mouse reports `[<b;x;yM|m`: button 0 left, +4 SHIFT
+    modifier, +32 motion-while-pressed (needs ?1002 tracking), 64/65
+    wheel. Events map to the reference's gestures (supersdr.py:688-719,
+    836-873): press = click-to-tune / drag start, drag = continuous
+    tune / span pan / passband-edge drag, release ends the drag.
+    Returns ("MOUSE", kind, col, row, shift)."""
     named = {"[A": "UP", "[B": "DOWN", "[C": "RIGHT", "[D": "LEFT",
              "[5~": "PGUP", "[6~": "PGDN"}
     if seq in named:
@@ -233,22 +284,27 @@ def parse_escape(seq: str):
         try:
             b, x, y = (int(v) for v in seq[2:-1].split(";"))
         except ValueError:
-            return "ESC"
-        if seq[-1] == "m":          # release — ignore
             return None
-        if b == 64:
-            return ("MOUSE", "wheel_up", x - 1, y - 1)
-        if b == 65:
-            return ("MOUSE", "wheel_down", x - 1, y - 1)
-        if b in (0, 32):            # left press / drag
-            return ("MOUSE", "click", x - 1, y - 1)
-        return None
-    return "ESC"
+        shift = bool(b & 4)
+        if b & 64:
+            if seq[-1] == "m":
+                return None
+            kind = "wheel_up" if (b & 1) == 0 else "wheel_down"
+            return ("MOUSE", kind, x - 1, y - 1, shift)
+        if (b & 3) != 0:            # middle/right buttons — unused
+            return None
+        if seq[-1] == "m":
+            return ("MOUSE", "release", x - 1, y - 1, shift)
+        if b & 32:
+            return ("MOUSE", "drag", x - 1, y - 1, shift)
+        return ("MOUSE", "press", x - 1, y - 1, shift)
+    return None
 
 
 def stdin_keys(mouse: bool = True) -> Callable[[], list]:
     """Non-blocking raw-mode key reader for a TTY (arrow keys + SGR
-    mouse reporting; `.restore()` resets the terminal)."""
+    mouse reporting incl. ?1002 button-motion tracking for drag
+    gestures; `.restore()` resets the terminal)."""
     import select
     import termios
     import tty
@@ -257,7 +313,7 @@ def stdin_keys(mouse: bool = True) -> Callable[[], list]:
     old = termios.tcgetattr(fd)
     tty.setcbreak(fd)
     if mouse:
-        sys.stdout.write("\x1b[?1000h\x1b[?1006h")
+        sys.stdout.write("\x1b[?1000h\x1b[?1002h\x1b[?1006h")
         sys.stdout.flush()
 
     def _ready():
@@ -283,7 +339,7 @@ def stdin_keys(mouse: bool = True) -> Callable[[], list]:
 
     def restore():
         if mouse:
-            sys.stdout.write("\x1b[?1006l\x1b[?1000l")
+            sys.stdout.write("\x1b[?1006l\x1b[?1002l\x1b[?1000l")
             sys.stdout.flush()
         termios.tcsetattr(fd, termios.TCSADRAIN, old)
 

@@ -136,6 +136,14 @@ class TuiModel:
     text_entry: tuple = None        # (purpose, buffer)
     spectrum_fill: bool = True
     logbook: object = None
+    # mouse drag state (reference flags.click_drag_flag/start_drag_x,
+    # utils:130-131): (kind, last_col[, which_edge]) or None
+    drag: tuple = None
+    # render geometry for mouse-row gating (ADVICE r2: clicks outside the
+    # spectrum/waterfall surface must not retune) — set by render()
+    _spectrum_row: int = None
+    _wf_row0: int = None
+    _row_shift: int = 0             # extra rows inserted above (SUB line)
 
     def _get_logbook(self):
         if self.logbook is None:
@@ -338,26 +346,108 @@ class TuiModel:
             self.show_help = not self.show_help
         return True
 
-    def handle_mouse(self, event: str, col: int, row: int = 0) -> None:
-        """Mouse gestures on the span (reference click_freq resolution,
-        supersdr.py:836-873): left click tunes the RX to the clicked
-        frequency (CW: BFO-corrected like keyboard entry); wheel zooms
-        around the current RX frequency."""
+    def _col_to_khz(self, col: int) -> float:
         pan = self.pan
-        if event == "click":
-            f = pan.start_f_khz + (col + 0.5) / self.width * pan.span_khz
-            f = round(f * 10.0) / 10.0          # 100 Hz step grid
-            if self.rx.radio_mode == "CW":
-                from supersdr_tpu.ops.passband import CW_PITCH_HZ
-                f -= CW_PITCH_HZ / 1000.0
-            self._tune(f)
-            self.message = f"tuned {self.rx.freq:.1f} kHz"
-        elif event in ("wheel_up", "wheel_down"):
+        f = pan.start_f_khz + (col + 0.5) / self.width * pan.span_khz
+        return round(f * 10.0) / 10.0           # 100 Hz step grid
+
+    def _mouse_region(self, row: int) -> str:
+        """'spectrum' / 'wf' / 'outside' from the last render's geometry
+        (reference zones: waterfall area tunes, spectrum row drags the
+        span — supersdr.py:703-713). Before any render, every row counts
+        as the waterfall so scripted/mouse-only drivers keep working."""
+        if self._spectrum_row is None:
+            return "wf"
+        row = row - self._row_shift
+        if row == self._spectrum_row:
+            return "spectrum"
+        if self._wf_row0 is not None and row >= self._wf_row0:
+            return "wf"
+        return "outside"
+
+    def _click_tune(self, col: int) -> None:
+        f = self._col_to_khz(col)
+        if self.rx.radio_mode == "CW":
+            from supersdr_tpu.ops.passband import CW_PITCH_HZ
+            f -= CW_PITCH_HZ / 1000.0
+        self._tune(f)
+        self.message = f"tuned {self.rx.freq:.1f} kHz"
+
+    def handle_mouse(self, event: str, col: int, row: int = 0,
+                     shift: bool = False) -> None:
+        """Mouse gestures (reference supersdr.py:688-719, 836-873):
+
+          press in the waterfall      → tune (CW: BFO-corrected); keeps a
+                                        drag → continuous drag-tuning
+          SHIFT+press in the waterfall→ drag the nearest passband edge
+                                        (100 Hz per column, CW ÷5 —
+                                        supersdr.py:307-373 step rules)
+          press on the spectrum row   → drag pans the span (the reference
+                                        spectrum-bar drag, :710-719)
+          wheel                       → zoom
+        Clicks outside the rendered spectrum/waterfall area are ignored.
+        """
+        pan = self.pan
+        if event in ("wheel_up", "wheel_down"):
+            if self._mouse_region(row) == "outside" or col >= self.width:
+                return
             d = 1 if event == "wheel_up" else -1
             if self.links is not None:
                 self.links.zoom(d)
             else:
                 pan.set_freq_zoom(self.rx.freq, pan.zoom + d)
+            return
+        if event == "release":
+            self.drag = None
+            return
+        if event in ("press", "click"):
+            region = self._mouse_region(row)
+            if region == "outside" or not (0 <= col < self.width):
+                self.drag = None
+                return
+            if region == "spectrum":
+                self.drag = ("pan", col)
+            elif shift:
+                # passband-edge drag: pick the edge by which side of the
+                # carrier the grab lands on
+                f = self._col_to_khz(col)
+                carrier = self.rx.freq
+                which = "high" if f >= carrier + (self.rx.lc + self.rx.hc) \
+                    / 2000.0 else "low"
+                self.drag = ("pb", col, which)
+                self.message = f"drag passband {which}"
+            else:
+                self.drag = ("tune", col)
+                self._click_tune(col)
+            return
+        if event == "drag":
+            if self.drag is None:
+                return
+            kind, last = self.drag[0], self.drag[1]
+            dcol = col - last
+            if dcol == 0:
+                return
+            if kind == "tune":
+                self._click_tune(col)
+                self.drag = ("tune", col)
+            elif kind == "pan":
+                # drag the spectrum: span moves opposite the pointer
+                # (manual_wf_freq = wf.freq - delta, supersdr.py:715-719)
+                delta_khz = dcol / self.width * pan.span_khz
+                pan.set_freq_zoom(pan.freq_khz - delta_khz, pan.zoom)
+                self.drag = ("pan", col)
+            elif kind == "pb":
+                which = self.drag[2]
+                for _ in range(min(abs(dcol), 8)):
+                    if which == "high":
+                        # dragging right widens the high edge (+step)
+                        self.rx.adjust_passband("high", shift=dcol < 0)
+                    else:
+                        # dragging left widens the low edge (-step)
+                        self.rx.adjust_passband("low", shift=dcol > 0)
+                self.message = (f"passband [{int(self.rx.lc):+d},"
+                                f"{int(self.rx.hc):+d}] Hz")
+                self.drag = ("pb", col, which)
 
     # ---------------------------------------------------------- rendering
 
@@ -428,6 +518,8 @@ class TuiModel:
         if self.show_eibi or self.show_dx:
             lines.extend(self.overlay_lines())
         if self.history:
+            self._spectrum_row = len(lines)
+            self._wf_row0 = len(lines) + 1
             lines.append(spectrum_row_text(
                 np.mean(self.history[:min(15, len(self.history))], axis=0),
                 self.width, fill=self.spectrum_fill))

@@ -177,6 +177,169 @@ def channelize(plan: PFBPlan, W, carry, x) -> tuple[cx.CX, cx.CX]:
     return _channelize_cx(plan, W, cx.as_cx(carry), cx.as_cx(x))
 
 
+# ---------------------------------------------------------------------------
+# Lane-layout channelizer ("mxu2"): the round-3 roofline rebuild.
+#
+# The legacy path (`channelize_c` + `ops.cx.fft`) runs ~3× off the HBM
+# roofline at the bench shape because the recursive four-step FFT swaps
+# the small factors of M (40, 64 for M=2560) into the lane (minor-most)
+# dimension — every transpose/matmul pass then uses 31–50 % of the 128
+# lanes — and the final `moveaxis` to the chain's [M, frames] layout is
+# one more full HBM pass.  This implementation never puts a small axis
+# minor: the fold keeps M (a lane multiple) minor, the two FFT stages are
+# `dot_general`s whose OUTPUT dim order performs the layout rotation for
+# free inside the matmul write, and the result lands directly in the
+# [M, n_frames] layout the receiver chain consumes (frames minor — full
+# lanes).  Zero explicit transposes end to end.
+# ---------------------------------------------------------------------------
+
+
+def _pick_factors(M: int) -> tuple[int, int] | None:
+    """(n1, n2) with M = n1·n2, both ≤ MAX_DIRECT, preferring lane-friendly
+    n2 (a multiple of 128 — it sits in the minor dim through stage A — as
+    large as possible so n1, the stage-A contraction, stays small).
+    None when M ≤ MAX_DIRECT (direct DFT) or no such factoring exists."""
+    if M <= cx.MAX_DIRECT:
+        return None
+    for n2 in (256, 128):
+        if M % n2 == 0 and M // n2 <= cx.MAX_DIRECT:
+            return (M // n2, n2)
+    for n2 in range(min(cx.MAX_DIRECT, M - 1), 0, -1):
+        if M % n2 == 0 and M // n2 <= cx.MAX_DIRECT:
+            return (M // n2, n2)
+    return None
+
+
+def mxu2_supported(M: int) -> bool:
+    return M <= cx.MAX_DIRECT or _pick_factors(M) is not None
+
+
+@lru_cache(maxsize=32)
+def _dif_tables(M: int, n1: int, n2: int
+                ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Stage-A matrix with the twiddle PRE-FOLDED, plus the stage-B DFT.
+
+    DIF indexing r = j1·n2 + j2, m = k2·n1 + k1 (validated against
+    numpy.fft):  X[m] = Σ_{j2} W_{n2}^{j2 k2} · W_M^{j2 k1} ·
+    Σ_{j1} x[j1 n2 + j2] W_{n1}^{j1 k1}.  Folding W_M^{j2 k1} into the
+    stage-A matrix A[j2, k1, j1] = W_{n1}^{j1 k1}·W_M^{j2 k1} removes the
+    twiddle's full HBM pass; the j2-batched dot keeps frames minor.
+    """
+    jk1 = np.outer(np.arange(n1), np.arange(n1))
+    d1 = np.exp(-2j * np.pi * jk1 / n1)                    # [j1, k1]
+    tw = np.exp(-2j * np.pi
+                * np.outer(np.arange(n2), np.arange(n1)) / M)  # [j2, k1]
+    A = d1.T[None, :, :] * tw[:, :, None]                  # [j2, k1, j1]
+    jk2 = np.outer(np.arange(n2), np.arange(n2))
+    c2 = np.exp(-2j * np.pi * jk2 / n2)                    # [j2, k2]
+    return (A.real.astype(np.float32), A.imag.astype(np.float32),
+            c2.real.astype(np.float32), c2.imag.astype(np.float32))
+
+
+_make_dot = cx.make_dot  # see ops/cx.py (split-bf16 "bf16x3" tier)
+
+
+def _fft_rotate(fr: jax.Array, fi: jax.Array, M: int, precision
+                ) -> tuple[jax.Array, jax.Array]:
+    """FFT over the minor axis of fold [nf, M] → chans [M, nf] planes.
+
+    Two `dot_general`s whose output orders rotate frames from major to
+    minor — the transpose rides the matmul writes instead of costing
+    separate passes — with the twiddle pre-folded into stage A
+    (`_dif_tables`). Zero elementwise HBM passes; the output lands in the
+    chain's [M, n_frames] layout directly.
+    """
+    nf = fr.shape[0]
+    fac = _pick_factors(M)
+    if fac is None:
+        cr, ci = map(jnp.asarray, cx._dft_tables(M, -1))       # [r, m]
+        dot = _make_dot((((1,), (1,)), ((), ())), precision)
+        # lhs [m, r] free m; rhs [nf, r] free nf → out [m, nf]
+        return (dot(cr.T, fr) - dot(ci.T, fi),
+                dot(cr.T, fi) + dot(ci.T, fr))
+    n1, n2 = fac
+    Ar, Ai, c2r, c2i = map(jnp.asarray, _dif_tables(M, n1, n2))
+    f3r = fr.reshape(nf, n1, n2)
+    f3i = fi.reshape(nf, n1, n2)
+    # stage A: Y[j2, k1, nf] = Σ_{j1} A[j2, k1, j1]·f3[nf, j1, j2]
+    dotA = _make_dot((((2,), (1,)), ((0,), (2,))), precision)
+    yr = dotA(Ar, f3r) - dotA(Ai, f3i)                     # [j2, k1, nf]
+    yi = dotA(Ar, f3i) + dotA(Ai, f3r)
+    # stage B: X[k2, k1, nf] = Σ_{j2} C2[j2, k2]·Y[j2, k1, nf]
+    dotB = _make_dot((((1,), (0,)), ((), ())), precision)
+    xr = dotB(c2r.T, yr) - dotB(c2i.T, yi)                 # [k2, k1, nf]
+    xi = dotB(c2r.T, yi) + dotB(c2i.T, yr)
+    return xr.reshape(M, nf), xi.reshape(M, nf)
+
+
+def _fold_slices(g2: jax.Array, rows: jax.Array, n_frames: int, K: int
+                 ) -> jax.Array:
+    """K-tap WOLA fold as shifted row-slices (gather-free)."""
+    fold = g2[0] * rows[0:n_frames, :]
+    for k in range(1, K):
+        fold = fold + g2[k] * rows[k:k + n_frames, :]
+    return fold
+
+
+def _fold_conv(g2: jax.Array, rows: jax.Array, n_frames: int, K: int
+               ) -> jax.Array:
+    """K-tap fold as a depthwise conv down the frames axis: one XLA conv
+    whose TPU emitter streams the K-row window through VMEM instead of
+    K separate HBM passes. rows [nT, M] → fold [n_frames, M]."""
+    M = rows.shape[-1]
+    rows = rows.astype(jnp.float32)        # conv needs matching dtypes
+    lhs = rows[None]                       # [N=1, W=nT, C=M]
+    rhs = g2[:, None, :]                   # [W=K, I=1, O=M]
+    dn = jax.lax.conv_dimension_numbers(lhs.shape, rhs.shape,
+                                        ("NWC", "WIO", "NWC"))
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=dn, feature_group_count=M,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    return out[0]
+
+
+def channelize_mxu2_c(plan: PFBPlan, W: jax.Array, carry: jax.Array,
+                      x: jax.Array, *, fold_impl: str = "slices",
+                      precision=jax.lax.Precision.HIGHEST,
+                      fold_dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:
+    """Lane-layout channelizer step (traced contexts, critical sampling).
+
+    x: [n] complex64, n % n_chan == 0. Returns (new_carry, chans [M, n//M])
+    — numerically equivalent to `channelize_c` (same math, same index
+    conventions) but ~zero transpose passes and full-lane layouts
+    throughout; see the module section comment for why this matters.
+
+    fold_dtype=float16 stores the fold's input window in f16 (11-bit
+    mantissa, ≈68 dB quantization floor — well above the 50 dB audio
+    gate), halving the K-tap fold's HBM read traffic; accumulation stays
+    f32. A/B'd on-chip: ~2.7× faster fold at the headline shape.
+    """
+    if plan.hop != plan.n_chan:
+        raise ValueError("mxu2 channelizer requires critical sampling")
+    if x.ndim != 1:
+        raise ValueError("mxu2 channelizer is unbatched ([n] input)")
+    M, K = plan.n_chan, plan.taps_per
+    n = x.shape[-1]
+    if n % M:
+        raise ValueError("block length must be a multiple of n_chan")
+    n_frames = n // M
+    seg = jnp.concatenate([carry, x], axis=-1)
+    rows_r = jnp.real(seg).reshape(n_frames + K - 1, M)
+    rows_i = jnp.imag(seg).reshape(n_frames + K - 1, M)
+    if fold_dtype != jnp.float32:
+        rows_r = rows_r.astype(fold_dtype)
+        rows_i = rows_i.astype(fold_dtype)
+    g2 = W.reshape(-1)[::-1].reshape(K, M)
+    fold_fn = _fold_conv if fold_impl == "conv" else _fold_slices
+    fr = fold_fn(g2, rows_r, n_frames, K)
+    fi = fold_fn(g2, rows_i, n_frames, K)
+    xr, xi = _fft_rotate(fr, fi, M, precision)
+    new_carry = seg[..., -plan.history:]
+    return new_carry, jax.lax.complex(xr, xi)
+
+
 def channel_center_freqs(plan: PFBPlan, fs: float) -> np.ndarray:
     """Center frequency (Hz, wrapped to ±fs/2) of each channel index."""
     m = np.arange(plan.n_chan)

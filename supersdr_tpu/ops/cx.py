@@ -270,3 +270,30 @@ def fft_supported(n: int) -> bool:
         return True
     except ValueError:
         return False
+
+
+# ---------------------------------------------------------------------------
+# precision helpers: manual split-bf16 matmuls
+# ---------------------------------------------------------------------------
+
+def resolve_precision(p):
+    """Config string → lax.Precision.
+
+    Measured tiers on the bench chip (isolated [256,128]@[128,512]):
+    DEFAULT = 1-pass bf16 (~52 dB), HIGH = 3-pass split (~98 dB),
+    HIGHEST = 6-pass (~143 dB). A manual hi/lo split-bf16 ("bf16x3")
+    was tried and REMOVED: XLA's algebraic simplifier folds the
+    f32→bf16→f32 convert round-trip to identity, so the lo plane
+    becomes zero and the result silently degrades to DEFAULT accuracy —
+    use Precision.HIGH for the middle tier instead."""
+    if isinstance(p, str):
+        return jax.lax.Precision(p.lower())
+    return p
+
+
+def make_dot(dimension_numbers, precision):
+    """dot_general factory with f32 accumulation."""
+    from functools import partial
+    return partial(jax.lax.dot_general, dimension_numbers=dimension_numbers,
+                   precision=resolve_precision(precision),
+                   preferred_element_type=jnp.float32)

@@ -146,7 +146,9 @@ def fir_matmul_stream_c(plan: FIRMatmulPlan, W: jax.Array, carry: cx.CX,
     zr = _windows(plan, carry.re, xp.re)
     zi = _windows(plan, carry.im, xp.im)
     z = jnp.concatenate([zr, zi], axis=-1)            # [..., nb, 2·window]
-    y2 = jnp.einsum("...bs,so->...bo", z, W, precision=precision)
+    dot = cx.make_dot((((z.ndim - 1,), (0,)), ((), ())),
+                      cx.resolve_precision(precision))
+    y2 = dot(z, W)
     yr = y2[..., :B].reshape(*x.shape[:-1], -1)[..., :chunk]
     yi = y2[..., B:].reshape(*x.shape[:-1], -1)[..., :chunk]
     # carry comes from the true (unpadded) input tail; short chunks
@@ -209,7 +211,9 @@ def fir_matmul_stream_real_c(plan: FIRMatmulPlan, W: jax.Array, carry: cx.CX,
     zr = _windows(plan, carry.re, xp.re)
     zi = _windows(plan, carry.im, xp.im)
     z = jnp.stack([zr, zi], axis=-3)                  # [..., 2, nb, window]
-    y2 = jnp.einsum("...bs,so->...bo", z, W, precision=precision)
+    dot = cx.make_dot((((z.ndim - 1,), (0,)), ((), ())),
+                      cx.resolve_precision(precision))
+    y2 = dot(z, W)
     yr = y2[..., 0, :, :].reshape(*x.shape[:-1], -1)[..., :chunk]
     yi = y2[..., 1, :, :].reshape(*x.shape[:-1], -1)[..., :chunk]
     if plan.overlap == 0:

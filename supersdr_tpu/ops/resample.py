@@ -110,6 +110,120 @@ def interpolate(plan: InterpPlan, P: jax.Array, carry: jax.Array,
     return new_carry, y
 
 
+# ---------------------------------------------------------------------------
+# Blocked-Toeplitz MXU interpolator ("matmul" impl, round 3).
+#
+# The "einsum" impl materializes frames [.., n, per] — a minor dim of
+# `per` (typically 9) that TPU layouts pad to 128 lanes, wasting ~93 % of
+# the vector width and HBM bytes on the hot wideband shape.  Following
+# `ops/fir_matmul.py`, the zero-stuffed interpolation FIR is instead a
+# banded (block-Toeplitz) matrix from input blocks to OUTPUT blocks:
+#
+#     y_block[i] = z[i] @ W,  z[i] = x[(i-n_prev)·B : (i+1)·B]
+#
+# with W [window, L·B] absorbing the zero-stuffing, the polyphase
+# structure, AND the phase interleave — the output lands at the audio
+# rate in natural interleaved order with full-lane layouts end to end.
+# FLOP inflation (window/per ≈ 28× at B=128, per=9) is paid on the MXU,
+# which is idle here anyway; the win is ~1 pass of HBM traffic instead
+# of the frames blow-up.  Streaming state (per-1 input tail) is identical
+# to InterpPlan's, so impl switches don't convert state.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class InterpMatmulPlan:
+    L: int
+    n_taps: int
+    per: int        # ceil(n_taps / L) — input samples seen per output frame
+    block_in: int   # input samples per matmul row (multiple of 128)
+
+    def __post_init__(self):
+        if self.block_in % 128:
+            raise ValueError("block_in must be a multiple of 128")
+
+    @property
+    def history(self) -> int:
+        return self.per - 1
+
+    @property
+    def n_prev(self) -> int:
+        return -(-self.history // self.block_in)
+
+    @property
+    def window(self) -> int:
+        return (self.n_prev + 1) * self.block_in
+
+
+def plan_interp_matmul(plan: InterpPlan, chunk: int,
+                       max_block: int = 256) -> InterpMatmulPlan:
+    """Blocked plan for `interpolate_matmul` with B chosen ≤ max_block as
+    a 128-multiple divisor of `chunk` when possible (no pad waste)."""
+    b = 128
+    for cand in range(max_block, 127, -128):
+        if chunk % cand == 0:
+            b = cand
+            break
+    return InterpMatmulPlan(L=plan.L, n_taps=plan.n_taps, per=plan.per,
+                            block_in=b)
+
+
+def build_w_interp(plan: InterpMatmulPlan, taps: np.ndarray) -> jnp.ndarray:
+    """[window, L·block_in] interpolation matrix.
+
+    Row s is input sample x[k·B - n_prev·B + s]; column o = t·L + p is
+    output sample y[(k·B + t)·L + p] = L·Σ_q h[qL+p]·x[kB+t-q]  (the
+    reference's zero-stuff → valid-convolve → ×L gain,
+    /root/reference/utils_supersdr.py:1125-1134), so
+    W[s, tL+p] = L·h[(n_prev·B + t - s)·L + p] on the band, else 0.
+    """
+    taps = np.asarray(taps, np.float64)
+    if len(taps) != plan.n_taps:
+        raise ValueError("taps length mismatch")
+    B, L, per = plan.block_in, plan.L, plan.per
+    S = plan.window
+    s = np.arange(S)[:, None]
+    t = np.arange(B)[None, :]
+    q = plan.n_prev * B + t - s                      # [S, B]
+    W = np.zeros((S, B * L), np.float64)
+    for p in range(L):
+        j = q * L + p
+        valid = (q >= 0) & (q < per) & (j < plan.n_taps)
+        W[:, p::L] = np.where(valid, L * taps[np.clip(j, 0, plan.n_taps - 1)],
+                              0.0)
+    # column o = t·L + p ↔ W[:, p::L] columns at stride L starting p ✓
+    return jnp.asarray(W, jnp.float32)
+
+
+def interpolate_matmul(plan: InterpMatmulPlan, Wm: jax.Array,
+                       carry: jax.Array, x: jax.Array, *,
+                       precision=jax.lax.Precision.HIGHEST
+                       ) -> tuple[jax.Array, jax.Array]:
+    """Streaming step: x [*batch, n] → y [*batch, n·L]; same carry layout
+    and sample-exact outputs as `interpolate` (given the same taps)."""
+    B = plan.block_in
+    n = x.shape[-1]
+    pad_n = (-n) % B
+    xp = x
+    if pad_n:
+        xp = jnp.concatenate(
+            [x, jnp.zeros((*x.shape[:-1], pad_n), x.dtype)], axis=-1)
+    nb = xp.shape[-1] // B
+    pre = jnp.zeros((*x.shape[:-1], plan.n_prev * B - plan.history), x.dtype)
+    ext = jnp.concatenate([pre, carry, xp], axis=-1)
+    xb = ext.reshape(*x.shape[:-1], nb + plan.n_prev, B)
+    z = jnp.concatenate(
+        [xb[..., j:j + nb, :] for j in range(plan.n_prev + 1)], axis=-1)
+    from supersdr_tpu.ops import cx
+    dot = cx.make_dot((((z.ndim - 1,), (0,)), ((), ())),
+                      cx.resolve_precision(precision))
+    y = dot(z, Wm)
+    y = y.reshape(*x.shape[:-1], -1)[..., : n * plan.L]
+    new_carry = (jnp.concatenate([carry, x], axis=-1)[..., -plan.history:]
+                 if plan.history else x[..., :0])
+    return new_carry, y
+
+
 @dataclass(frozen=True)
 class RationalPlan:
     """Streaming L/M rational resampler (e.g. 20 kHz kiwi → 48 kHz: 12/5)."""

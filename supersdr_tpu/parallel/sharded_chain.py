@@ -71,8 +71,9 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
     halo = scans.left_halo(x, plan.overlap, TIME_AXIS)
     head = jnp.where(t_idx == 0, cx.to_complex(state.os_carry), halo)
     if cfg.passband_impl == "matmul":
-        _, y_cx = fir_matmul.fir_matmul_stream_c(cfg.fir_plan, params.W_pass,
-                                                 cx.split(head), cx.split(x))
+        _, y_cx = fir_matmul.fir_matmul_stream_c(
+            cfg.fir_plan, params.W_pass, cx.split(head), cx.split(x),
+            precision=cx.resolve_precision(cfg.passband_precision))
         y = cx.to_complex(y_cx)
         y_rows = y.reshape(*batch, n_rows, cfg.os_block)
     else:

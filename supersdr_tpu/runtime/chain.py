@@ -71,11 +71,17 @@ class ChainConfig:
                                 # (ops/fir_matmul.py; A/B'd on-chip in
                                 # docs/PERFORMANCE.md)
     passband_precision: str = "highest"  # matmul impl only: "highest"
-                                # (6-pass bf16, ~f32-exact) or "high"
-                                # (3-pass, faster; gate on oracle SNR)
-    resample_impl: str = "einsum"  # "einsum" (stacked frames → MXU) or
-                                # "fma" (broadcast FMA chain); identical
-                                # outputs, A/B'd on-chip
+                                # (6-pass bf16, ~f32-exact), "high",
+                                # "default" (1-pass bf16), or "bf16x3"
+                                # (manual 3-pass split, ≈f32 accuracy —
+                                # ops/cx.make_dot); gate on oracle SNR
+    resample_impl: str = "einsum"  # "einsum" (stacked frames → MXU),
+                                # "fma" (broadcast FMA chain), or "matmul"
+                                # (blocked-Toeplitz interleaving matmul —
+                                # full-lane layouts, ops/resample.py);
+                                # identical outputs, A/B'd on-chip
+    resample_precision: str = "highest"  # matmul resampler precision
+                                # (same ladder as passband_precision)
 
     def __post_init__(self):
         if self.chunk % self.os_block:
@@ -137,6 +143,10 @@ class ChainConfig:
         return plan
 
     @property
+    def interp_matmul_plan(self) -> resample.InterpMatmulPlan:
+        return resample.plan_interp_matmul(self.interp_plan, self.chunk)
+
+    @property
     def rational_plan(self) -> resample.RationalPlan:
         plan, _ = resample.plan_rational(self.iq_rate, self.audio_rate)
         return plan
@@ -164,6 +174,9 @@ class ChainParams(NamedTuple):
                                      # symmetric — ω snapped to fs/chunk)
     rot_out: cx.CX | None = None     # matmul_real: e^{+jω(n-c)} output
                                      # rotation [chunk]
+    W_interp: jax.Array | None = None  # [window, L·block_in] blocked-
+                                     # Toeplitz interpolation matrix
+                                     # (resample_impl="matmul")
 
 
 class ChainState(NamedTuple):
@@ -203,14 +216,16 @@ def make_params(cfg: ChainConfig,
     plan = cfg.os_plan
     taps = firdesign.complex_bandpass_taps(lc, hc, cfg.iq_rate, n=cfg.n_taps)
     H = overlap_save.taps_to_freq(plan, taps)
+    W_interp = None
     if cfg.is_rational:
         # P_interp carries the rational-resampler prototype taps instead
         # of a polyphase matrix (resample_poly semantics, utils:1126)
         _, P = resample.plan_rational(cfg.iq_rate, cfg.audio_rate)
     else:
-        _, P = resample.plan_interp(cfg.upsample,
-                                    firdesign.lowpass_taps(cfg.iq_rate / 2,
-                                                           cfg.audio_rate))
+        itaps = firdesign.lowpass_taps(cfg.iq_rate / 2, cfg.audio_rate)
+        _, P = resample.plan_interp(cfg.upsample, itaps)
+        if cfg.resample_impl == "matmul":
+            W_interp = resample.build_w_interp(cfg.interp_matmul_plan, itaps)
     nco = mixer.NCOParams.make(-np.asarray(freq_offset_hz, np.float64),
                                cfg.iq_rate, cfg.chunk)
     agc_p = agc_ops.make_params(cfg.iq_rate, **(agc_kwargs or {}))
@@ -242,7 +257,8 @@ def make_params(cfg: ChainConfig,
                        agc=agc_p,
                        squelch=squelch_ops.make_squelch(**(squelch_kwargs or {})),
                        blanker=squelch_ops.make_blanker(**(blanker_kwargs or {})),
-                       W_pass=W_pass, rot_in=rot_in, rot_out=rot_out)
+                       W_pass=W_pass, rot_in=rot_in, rot_out=rot_out,
+                       W_interp=W_interp)
 
 
 def init_state(cfg: ChainConfig, batch_shape: tuple[int, ...] = ()
@@ -291,14 +307,14 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
     # 2. passband selection: batched overlap-save rows, or the FFT-free
     #    blocked-Toeplitz MXU matmul (same streaming state either way)
     if cfg.passband_impl == "matmul":
-        prec = jax.lax.Precision(cfg.passband_precision.lower())
+        prec = cx.resolve_precision(cfg.passband_precision)
         _, y_cx = fir_matmul.fir_matmul_stream_c(cfg.fir_plan, params.W_pass,
                                                  state.os_carry, cx.split(x),
                                                  precision=prec)
         y = cx.to_complex(y_cx)
         y_rows = y.reshape(*batch, n_rows, cfg.os_block)
     elif cfg.passband_impl == "matmul_real":
-        prec = jax.lax.Precision(cfg.passband_precision.lower())
+        prec = cx.resolve_precision(cfg.passband_precision)
         xs = cx.split(x)
         carry = state.os_carry
         if params.rot_in is not None:
@@ -348,6 +364,11 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
         icarry, out_audio = resample.rational_resample_block(
             cfg.rational_plan, params.P_interp, state.interp_carry,
             audio.astype(jnp.float32))
+    elif cfg.resample_impl == "matmul":
+        icarry, out_audio = resample.interpolate_matmul(
+            cfg.interp_matmul_plan, params.W_interp, state.interp_carry,
+            audio.astype(jnp.float32),
+            precision=cx.resolve_precision(cfg.resample_precision))
     else:
         icarry, out_audio = resample.interpolate(cfg.interp_plan,
                                                  params.P_interp,

@@ -42,14 +42,32 @@ class WidebandConfig:
                                         # prototype, half the matmul FLOPs)
     passband_precision: str = "highest"  # matmul precision (see ChainConfig)
     resample_impl: str = "einsum"       # see ChainConfig.resample_impl
+    resample_precision: str = "highest"  # see ChainConfig
     mxu_chan_fft: bool = False          # channelizer FFT via the MXU
                                         # four-step instead of the FFT HLO
+    chan_impl: str = "legacy"           # "legacy" (channelize_c, honoring
+                                        # mxu_chan_fft) or "mxu2" /
+                                        # "mxu2conv" — the lane-layout
+                                        # zero-transpose channelizer
+                                        # (ops/channelizer.py, round 3)
+    chan_fold_dtype: str = "f32"        # "f16": store the PFB fold input
+                                        # window in float16 (halves fold
+                                        # HBM reads; f32 accumulation)
+    chan_precision: str = "highest"     # mxu2 FFT matmul precision:
+                                        # "highest" (6-pass, ~f32),
+                                        # "high" (3-pass, ~98 dB) or
+                                        # "default" (1-pass bf16,
+                                        # ~55 dB end-to-end); gate on
+                                        # the oracle SNR
 
     def __post_init__(self):
         if self.fs_in % self.n_chan:
             raise ValueError("n_chan must divide fs_in")
         if self.chunk_in % self.n_chan:
             raise ValueError("chunk_in must be a multiple of n_chan")
+        if self.chan_impl not in ("legacy", "mxu2", "mxu2conv"):
+            raise ValueError("chan_impl must be 'legacy', 'mxu2' or "
+                             "'mxu2conv'")
 
     @property
     def iq_rate(self) -> int:
@@ -73,7 +91,8 @@ class WidebandConfig:
                                  nco_enabled=False,
                                  passband_impl=self.passband_impl,
                                  passband_precision=self.passband_precision,
-                                 resample_impl=self.resample_impl)
+                                 resample_impl=self.resample_impl,
+                                 resample_precision=self.resample_precision)
 
 
 class WidebandParams(NamedTuple):
@@ -122,6 +141,14 @@ def process_traced(cfg: WidebandConfig, params: WidebandParams,
         pfb_carry, chans = pfb_fold.channelize_pallas_c(
             plan, G, cx.to_complex(state.pfb_carry), cx.to_complex(iq),
             interpret=interpret)
+    elif cfg.chan_impl in ("mxu2", "mxu2conv"):
+        pfb_carry, chans = channelizer.channelize_mxu2_c(
+            plan, params.W_pfb, cx.to_complex(state.pfb_carry),
+            cx.to_complex(iq),
+            fold_impl="conv" if cfg.chan_impl == "mxu2conv" else "slices",
+            precision=cx.resolve_precision(cfg.chan_precision),
+            fold_dtype=(jnp.float16 if cfg.chan_fold_dtype == "f16"
+                        else jnp.float32))
     else:
         pfb_carry, chans = channelizer.channelize_c(
             plan, params.W_pfb, cx.to_complex(state.pfb_carry),

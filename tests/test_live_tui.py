@@ -233,11 +233,171 @@ def test_parse_escape_sequences():
     from supersdr_tpu.apps.live_tui import parse_escape
     assert parse_escape("[A") == "UP"
     assert parse_escape("[5~") == "PGUP"
-    assert parse_escape("[<0;41;7M") == ("MOUSE", "click", 40, 6)
-    assert parse_escape("[<64;10;2M") == ("MOUSE", "wheel_up", 9, 1)
-    assert parse_escape("[<65;10;2M") == ("MOUSE", "wheel_down", 9, 1)
-    assert parse_escape("[<0;41;7m") is None        # release ignored
-    assert parse_escape("[Z") == "ESC"
+    assert parse_escape("[<0;41;7M") == ("MOUSE", "press", 40, 6, False)
+    assert parse_escape("[<64;10;2M") == ("MOUSE", "wheel_up", 9, 1, False)
+    assert parse_escape("[<65;10;2M") == ("MOUSE", "wheel_down", 9, 1, False)
+    assert parse_escape("[<0;41;7m") == ("MOUSE", "release", 40, 6, False)
+    assert parse_escape("[<32;12;7M") == ("MOUSE", "drag", 11, 6, False)
+    assert parse_escape("[<4;12;7M") == ("MOUSE", "press", 11, 6, True)
+    assert parse_escape("[<36;13;7M") == ("MOUSE", "drag", 12, 6, True)
+    # unrecognized sequences are ignored, NOT treated as ESC (a stray
+    # function-key report must not cancel freq entry — ADVICE r2)
+    assert parse_escape("[Z") is None
+    assert parse_escape("OA") is None
+    assert parse_escape("[<2;5;5M") is None          # right button unused
+
+
+def test_mouse_drag_gestures():
+    """Drag-tune in the waterfall, span pan on the spectrum row, and
+    SHIFT-drag passband edges (reference supersdr.py:703-719 zones +
+    passband steps :307-373)."""
+    s = make_session()
+    m = s.model
+    for _ in range(10):
+        m.push_row(np.full(100, 128.0))
+    s.render_lines()                       # establishes row geometry
+    spec_row, wf_row = m._spectrum_row, m._wf_row0
+
+    # drag-tune: press in the waterfall, drag right
+    m.handle_key(("MOUSE", "press", 40, wf_row + 2, False))
+    f0 = s.rx.freq
+    m.handle_key(("MOUSE", "drag", 60, wf_row + 2, False))
+    assert s.rx.freq > f0
+    expect = m._col_to_khz(60)
+    assert abs(s.rx.freq - expect) < 1e-6
+    m.handle_key(("MOUSE", "release", 60, wf_row + 2, False))
+    assert m.drag is None
+
+    # span pan: press on the spectrum row, drag left → span moves right
+    center0 = s.pan.freq_khz
+    m.handle_key(("MOUSE", "press", 50, spec_row, False))
+    m.handle_key(("MOUSE", "drag", 30, spec_row, False))
+    assert s.pan.freq_khz > center0        # dragged left ⇒ span slides up
+    m.handle_key(("MOUSE", "release", 30, spec_row, False))
+
+    # SHIFT-drag near the high edge widens/narrows the passband
+    hc0 = s.rx.hc
+    col_hi = m._col(s.rx.freq + s.rx.hc / 1000.0)
+    m.handle_key(("MOUSE", "press", col_hi, wf_row + 1, True))
+    assert m.drag is not None and m.drag[0] == "pb"
+    m.handle_key(("MOUSE", "drag", col_hi + 3, wf_row + 1, True))
+    assert s.rx.hc > hc0                   # dragged right: high edge up
+    m.handle_key(("MOUSE", "drag", col_hi - 2, wf_row + 1, True))
+    assert s.rx.hc < hc0 + 3 * 100 + 1     # dragged back: stepped down
+    m.handle_key(("MOUSE", "release", col_hi, wf_row + 1, True))
+
+
+def test_interactive_server_switch_and_revert(tmp_path):
+    """`K` opens the server book; switching to a good server re-streams
+    from it, switching to a busy one keeps the live server playing
+    (reference connect_new + revert flow, supersdr.py:743-796)."""
+    from supersdr_tpu import cli
+    from supersdr_tpu.io.fake_kiwi import FakeKiwiConfig, FakeKiwiServer
+    import supersdr_tpu.apps.live_tui as lt
+
+    t = np.arange(512 * 200) / FS
+    iq = (0.2 * np.exp(2j * np.pi * 1000 * t)).astype(np.complex64)
+    srv_a = FakeKiwiServer(FakeKiwiConfig(iq_source=iq, n_frames=80,
+                                          audio_rate_true=12000.0)).start()
+    srv_b = FakeKiwiServer(FakeKiwiConfig(iq_source=iq, n_frames=80,
+                                          audio_rate_true=12000.0)).start()
+    srv_busy = FakeKiwiServer(FakeKiwiConfig(iq_source=iq,
+                                             too_busy=True)).start()
+    book = tmp_path / "kiwi.list"
+    book.write_text("KIWIHOST;KIWIPORT;KIWIPASSWORD;COMMENTS\n"
+                    f"127.0.0.1;{srv_busy.port};;busy one\n"
+                    f"127.0.0.1;{srv_b.port};;good one\n")
+
+    # script: open the book, pick the busy server (must revert), open
+    # again, pick the good server (must switch), keep streaming
+    key_script = iter([[], ["K"], ["1"], [], [], ["K"], ["2"], [], []])
+    rendered, messages = [], []
+    orig = lt.ansi_render
+    lt.ansi_render = rendered.append
+    try:
+        args = cli.build_parser().parse_args(
+            ["kiwi", "-s", "127.0.0.1", "-p", str(srv_a.port),
+             "-f", "14200", "--mode", "USB",
+             "-o", str(tmp_path / "sw.wav"), "--frames", "60", "--tui"])
+        args.kiwi_list = str(book)
+
+        session_box = {}
+
+        def keys():
+            ks = next(key_script, [])
+            if "session" in session_box:
+                messages.append(session_box["session"].model.message)
+            return ks
+
+        args.inject_keys = keys
+        import supersdr_tpu.apps.kiwi_session as ks_mod
+        orig_create = lt.LiveTui.create
+
+        def create_spy(*a, **kw):
+            s = orig_create(*a, **kw)
+            session_box["session"] = s
+            return s
+        lt.LiveTui.create = create_spy
+        try:
+            rc = ks_mod.run_kiwi_tui(args)
+        finally:
+            lt.LiveTui.create = orig_create
+        assert rc == 0
+    finally:
+        lt.ansi_render = orig
+        srv_a.stop()
+        srv_b.stop()
+        srv_busy.stop()
+    joined = "\n".join(messages)
+    assert "staying" in joined or "refused" in joined, messages
+    assert f"switched to 127.0.0.1:{srv_b.port}" in joined, messages
+    # audio kept flowing across both the failed and successful switches
+    from supersdr_tpu.io import wav as wav_io
+    data, rate = wav_io.read_audio_wav(tmp_path / "sw.wav")
+    assert rate == 48000 and len(data) > 4096
+    # the good server actually served our SND stream after the switch
+    assert any(b"SET" in c if isinstance(c, bytes) else "SET" in c
+               for c in srv_b.commands)
+
+
+def test_server_menu_renders_book(tmp_path):
+    s = make_session()
+    from supersdr_tpu.control.kiwilist import KiwiList
+    book = tmp_path / "kiwi.list"
+    book.write_text("KIWIHOST;KIWIPORT;KIWIPASSWORD;COMMENTS\n"
+                    "kiwi1.example;8073;;alpha\nkiwi2.example;8074;;beta\n")
+    s.server_book = KiwiList(book)
+    calls = []
+    s.switch_server = lambda e: (calls.append(e) or (True, "ok"))
+    s.handle_key("K")
+    assert s.server_menu
+    lines = s.render_lines()
+    assert any("kiwi1.example:8073" in ln for ln in lines)
+    assert any("beta" in ln for ln in lines)
+    s.handle_key("2")
+    assert not s.server_menu and calls and calls[0][0] == "kiwi2.example"
+    # ESC closes without connecting
+    s.handle_key("K")
+    s.handle_key("ESC")
+    assert not s.server_menu and len(calls) == 1
+
+
+def test_mouse_click_outside_surface_ignored():
+    """Clicks on the status/span lines or past the rendered width must
+    not retune (ADVICE r2: gate on the waterfall surface)."""
+    s = make_session()
+    m = s.model
+    for _ in range(6):
+        m.push_row(np.full(100, 90.0))
+    s.render_lines()
+    f0 = s.rx.freq
+    m.handle_key(("MOUSE", "press", 10, 0, False))       # status line
+    m.handle_key(("MOUSE", "press", 10, 1, False))       # span line
+    m.handle_key(("MOUSE", "press", 200, m._wf_row0, False))  # past width
+    assert s.rx.freq == f0
+    z0 = s.pan.zoom
+    m.handle_key(("MOUSE", "wheel_up", 10, 0, False))    # wheel on status
+    assert s.pan.zoom == z0
 
 
 def test_mouse_click_tunes_and_wheel_zooms(tmp_path):
