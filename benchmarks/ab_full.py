@@ -83,6 +83,19 @@ VARIANTS = [
      "chan_fold_dtype": "f16", "resample_impl": "matmul",
      "passband_precision": "default",
      "resample_precision": "high"},                                # 11
+    # fftmxu passband (layout-rotating MXU overlap-save, round 3b)
+    {"passband_impl": "fftmxu", "passband_precision": "default",
+     "chan_impl": "mxu2", "chan_precision": "default",
+     "chan_fold_dtype": "f16", "resample_impl": "matmul",
+     "resample_precision": "high"},                                # 12
+    {"passband_impl": "fftmxu", "passband_precision": "high",
+     "chan_impl": "mxu2", "chan_precision": "default",
+     "chan_fold_dtype": "f16", "resample_impl": "matmul",
+     "resample_precision": "high"},                                # 13
+    {"passband_impl": "fftmxu", "passband_precision": "high",
+     "chan_impl": "mxu2", "chan_precision": "high",
+     "chan_fold_dtype": "f16", "resample_impl": "matmul",
+     "resample_precision": "high"},                                # 14
 ]
 
 

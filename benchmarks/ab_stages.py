@@ -44,10 +44,16 @@ def main():
     from supersdr_tpu.ops import agc as agc_ops
     from supersdr_tpu.ops import cx, fir_matmul, firdesign, resample
 
-    rng = np.random.default_rng(0)
-    xr = jnp.asarray(rng.normal(size=(NCH, N)).astype(np.float32))
-    xi = jnp.asarray(rng.normal(size=(NCH, N)).astype(np.float32))
-    x_cx = cx.CX(xr, xi)
+    # device-generated inputs: the tunnel moves host buffers at ~1 MB/s
+    @jax.jit
+    def gen(key):
+        kr, ki = jax.random.split(key)
+        return cx.CX(jax.random.normal(kr, (NCH, N), jnp.float32),
+                     jax.random.normal(ki, (NCH, N), jnp.float32))
+
+    x_cx = gen(jax.random.PRNGKey(0))
+    assert np.isfinite(float(jnp.sum(x_cx.re[:, :4])))
+    xr = x_cx.re
 
     taps = firdesign.complex_bandpass_taps(-5000.0, 5000.0, 12000, n=N_TAPS)
     fplan = fir_matmul.plan_for(N, N_TAPS)

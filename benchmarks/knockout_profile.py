@@ -25,8 +25,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 BASE = dict(fs_in=30_720_000, n_chan=2560,
             chunk_in=2560 * (16384 - 256), mode="AM",
             taps_per=8, n_taps=257, audio_rate=48_000,
-            passband_impl="matmul", passband_precision="high",
-            mxu_chan_fft=True)
+            passband_impl="matmul", passband_precision="default",
+            chan_impl="mxu2", chan_precision="default",
+            chan_fold_dtype="f16", resample_impl="matmul",
+            resample_precision="high")
 N_SCAN = 2
 MIN_S = 2.0
 
@@ -38,6 +40,8 @@ VARIANTS = [
     ("iq_mode(no demod/agc)", {"mode": "IQ"}),
     ("agc_decim8", {"agc_decimation": 8}),
     ("taps_per4(PFB half fold)", {"taps_per": 4}),
+    ("quality_profile", {"passband_precision": "high",
+                         "chan_precision": "high"}),
 ]
 
 
@@ -54,15 +58,22 @@ def main():
     from supersdr_tpu.runtime import wideband
 
     idxs = [int(a) for a in sys.argv[1:]] or range(len(VARIANTS))
-    rng = np.random.default_rng(1)
     for i in idxs:
         name, over = VARIANTS[i]
         cfg = wideband.WidebandConfig(**{**BASE, **over})
         params = wideband.make_params(cfg)
         state = wideband.init_state(cfg)
-        iq = cx.as_cx(((rng.normal(size=(N_SCAN, cfg.chunk_in))
-                        + 1j * rng.normal(size=(N_SCAN, cfg.chunk_in)))
-                       * 0.05).astype(np.complex64))
+
+        # device-generated input (the tunnel ships host buffers at ~1 MB/s)
+        @jax.jit
+        def gen(key, n=cfg.chunk_in):
+            kr, ki = jax.random.split(key)
+            return cx.CX(0.05 * jax.random.normal(kr, (N_SCAN, n),
+                                                  jnp.float32),
+                         0.05 * jax.random.normal(ki, (N_SCAN, n),
+                                                  jnp.float32))
+
+        iq = gen(jax.random.PRNGKey(1))
 
         def stat(audio):
             if hasattr(audio, "re"):

@@ -52,6 +52,8 @@ class LiveTui:
     server_menu: bool = False
     _win: np.ndarray = field(default=None, repr=False)
     _recorder: object = field(default=None, repr=False)
+    _dual: object = field(default=None, repr=False)   # runtime.dualrx
+    _dual_key: tuple = field(default=None, repr=False)
 
     @classmethod
     def create(cls, rx: Receiver, pan: Panadapter, width: int = 100,
@@ -161,14 +163,37 @@ class LiveTui:
 
     # --------------------------------------------------------------- audio
 
+    def _dual_process(self, iq_chunk: np.ndarray) -> np.ndarray:
+        """MAIN+SUB through ONE device program (runtime/dualrx.py): a
+        fixed [2, chunk] slot axis whose per-slot tuning/mode/AGC are
+        runtime data — SUB add/drop and every retune reuse the same
+        compiled program (SURVEY §2a: channels are an array axis, not
+        threads; replaces the two dispatches flagged in VERDICT r2)."""
+        from supersdr_tpu.runtime.dualrx import DualChain
+        sub = self.rx_sub if self.rx_sub is not None else self.rx
+        if self._dual is None or self._dual.cfg.blanker_enabled \
+                != self.rx.cfg.blanker_enabled:
+            self._dual = DualChain(self.rx.cfg)
+            self._dual_key = None
+        key = (id(self.rx), self.rx.rev, id(sub), sub.rev,
+               self.rx_sub is not None)
+        if key != self._dual_key:
+            self._dual.refresh([self.rx, sub],
+                               [True, self.rx_sub is not None])
+            self._dual_key = key
+        audio2, rssi2 = self._dual.process(iq_chunk)
+        main_audio = self.rx.post_audio(audio2[0], rssi2[0, -1])
+        out = self.rx.stereo(main_audio)
+        if self.rx_sub is not None:
+            sub_audio = sub.post_audio(audio2[1], rssi2[1, -1])
+            out = out + sub.stereo(sub_audio)
+            out = np.clip(out, -1.0, 1.0)
+        return out
+
     def step(self, iq_chunk: np.ndarray) -> np.ndarray:
         """One chunk through MAIN (+SUB) → stereo float32 [n, 2]; native
         waterfall rows pushed to the model; recording honored ('E')."""
-        audio = self.rx.process(iq_chunk)
-        out = self.rx.stereo(audio)
-        if self.rx_sub is not None:
-            out = out + self.rx_sub.stereo(self.rx_sub.process(iq_chunk))
-            out = np.clip(out, -1.0, 1.0)
+        out = self._dual_process(iq_chunk)
         if self.model.recording:
             if self._recorder is None:
                 from supersdr_tpu.io.wav import AudioRecorder

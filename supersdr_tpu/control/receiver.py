@@ -105,14 +105,16 @@ class Receiver:
     nb_thresh: float = 6.0
 
     def __post_init__(self):
-        self.lc, self.hc = self.change_passband(self.delta_low,
-                                                self.delta_high)
         self.rssi = -127.0
         self.smoothed_rssi = -127.0
         self.mute_counter = 0
         self.adc_overflow = False
         self.params = None
         self.state = None
+        self.rev = 0             # bumped on every param rebuild (lets a
+                                 # batched program detect stale slots)
+        self.lc, self.hc = self.change_passband(self.delta_low,
+                                                self.delta_high)
         self.refresh_params()
 
     # -------------------------------------------------- control surface
@@ -198,6 +200,7 @@ class Receiver:
                                 thresh_db=self.squelch_thresh_db),
             blanker_kwargs=dict(enabled=self.nb_on,
                                 thresh_ratio=self.nb_thresh))
+        self.rev += 1
         if self.state is None:
             self.state = chain.init_state(self.cfg)
 
@@ -212,16 +215,15 @@ class Receiver:
                                         np.asarray(iq_block, np.complex64))
         return out
 
-    def process_fetch(self, out):
-        """Materialize a dispatched chunk's audio with volume and TX-mute
-        applied (host-side post-processing)."""
-        self.rssi = float(np.asarray(out.rssi)[-1])
+    def post_audio(self, audio: np.ndarray, rssi_last: float) -> np.ndarray:
+        """Host-side post-processing shared by the serial and batched
+        (dual-RX) paths: RSSI bookkeeping, volume, TX-mute window
+        (utils:1141-1147)."""
+        self.rssi = float(rssi_last)
         from supersdr_tpu.ops import smeter
         self.smoothed_rssi = float(smeter.smooth(
             np.float32(self.smoothed_rssi), np.float32(self.rssi)))
-        audio = np.asarray(out.audio)
-        audio = audio * (self.volume / 100.0)
-        # TX-mute window on RSSI spikes (utils:1141-1147)
+        audio = np.asarray(audio) * (self.volume / 100.0)
         if self.rssi > MAX_RSSI_BEFORE_MUTE:
             self.mute_counter = MUTING_DELAY_FRAMES
         elif self.mute_counter > 0:
@@ -229,6 +231,12 @@ class Receiver:
         if self.mute_counter > 0 or self.muted:
             audio = audio * 0.0
         return audio
+
+    def process_fetch(self, out):
+        """Materialize a dispatched chunk's audio with volume and TX-mute
+        applied (host-side post-processing)."""
+        return self.post_audio(np.asarray(out.audio),
+                               float(np.asarray(out.rssi)[-1]))
 
     def process(self, iq_block: np.ndarray):
         """Demodulate one IQ chunk; returns float32 audio at the audio

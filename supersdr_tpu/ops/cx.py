@@ -273,6 +273,130 @@ def fft_supported(n: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# layout-rotating two-stage FFT pair (round 3)
+#
+# `fft` above is layout-agnostic but swaps small factors into the lane
+# dimension (measured ~3× off the HBM roofline at SDR shapes). This pair
+# instead expresses one FFT level as two dot_generals whose OUTPUT dim
+# order carries the layout rotation for free:
+#
+#   fft_rotate : x [b, n]  (n minor)  →  X [n, b]  (b minor)
+#   ifft_major : X [n, b]  (n MAJOR)  →  z [n, b]
+#
+# Composing them implements overlap-save convolution with the batch axis
+# lane-resident through every pass: forward-rotate, multiply the [n]
+# mask down the major axis, inverse in place, one final transpose back
+# to [b, n]. DIF indexing r = j1·n2 + j2, m = k2·n1 + k1 with the
+# twiddle folded into the stage matrices (no elementwise twiddle pass).
+# ---------------------------------------------------------------------------
+
+
+def _balanced_pair(n: int) -> tuple[int, int] | None:
+    """(n1, n2), n = n1·n2, both ≤ MAX_DIRECT, as square as possible
+    (minimizes the inverse's [n1, n2, n2] table)."""
+    if n <= MAX_DIRECT:
+        return None
+    best = None
+    f = 1
+    i = 2
+    while i * i <= n:
+        if n % i == 0:
+            f = i
+        i += 1
+    for n1 in range(f, 0, -1):
+        if n % n1 == 0 and n // n1 <= MAX_DIRECT and n1 <= MAX_DIRECT:
+            best = (n1, n // n1)
+            break
+    return best
+
+
+@lru_cache(maxsize=16)
+def _rot_fwd_tables(n: int, n1: int, n2: int):
+    """Forward: A[j2, k1, j1] = W_{n1}^{-j1k1}·W_n^{-j2k1};
+    C2[j2, k2] = W_{n2}^{-j2k2}."""
+    d1 = np.exp(-2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    tw = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n1)) / n)
+    A = d1.T[None, :, :] * tw[:, :, None]                   # [j2, k1, j1]
+    c2 = np.exp(-2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    return (A.real.astype(np.float32), A.imag.astype(np.float32),
+            c2.real.astype(np.float32), c2.imag.astype(np.float32))
+
+
+@lru_cache(maxsize=16)
+def _rot_inv_tables(n: int, n1: int, n2: int):
+    """Inverse: B[k1, j2, k2] = W_n^{+j2k1}·W_{n2}^{+j2k2} (scaled 1/n);
+    D[j1, k1] = W_{n1}^{+j1k1}."""
+    tw = np.exp(2j * np.pi * np.outer(np.arange(n2), np.arange(n1)) / n)
+    c2 = np.exp(2j * np.pi * np.outer(np.arange(n2), np.arange(n2)) / n2)
+    B = (tw.T[:, :, None] * c2[None, :, :]) / n             # [k1, j2, k2]
+    d1 = np.exp(2j * np.pi * np.outer(np.arange(n1), np.arange(n1)) / n1)
+    return (B.real.astype(np.float32), B.imag.astype(np.float32),
+            d1.real.astype(np.float32), d1.imag.astype(np.float32))
+
+
+def fft_rotate(xr: jax.Array, xi: jax.Array,
+               precision=jax.lax.Precision.HIGHEST
+               ) -> tuple[jax.Array, jax.Array]:
+    """FFT along the minor axis: [b, n] → [n, b] (m = k2·n1 + k1)."""
+    b, n = xr.shape
+    fac = _balanced_pair(n)
+    if fac is None:
+        cr, ci = map(jnp.asarray, _dft_tables(n, -1))       # [r, m]
+        dot = _mk_dot((((1,), (1,)), ((), ())), precision)
+        # lhs [m, r]; rhs [b, r] → out [m, b]
+        return (dot(cr.T, xr) - dot(ci.T, xi),
+                dot(cr.T, xi) + dot(ci.T, xr))
+    n1, n2 = fac
+    Ar, Ai, c2r, c2i = map(jnp.asarray, _rot_fwd_tables(n, n1, n2))
+    x3r = xr.reshape(b, n1, n2)
+    x3i = xi.reshape(b, n1, n2)
+    # stage A: Y[j2, k1, b] = Σ_{j1} A[j2, k1, j1]·x3[b, j1, j2]
+    dotA = _mk_dot((((2,), (1,)), ((0,), (2,))), precision)
+    yr = dotA(Ar, x3r) - dotA(Ai, x3i)
+    yi = dotA(Ar, x3i) + dotA(Ai, x3r)
+    # stage B: X[k2, k1, b] = Σ_{j2} C2[j2, k2]·Y[j2, k1, b]
+    dotB = _mk_dot((((1,), (0,)), ((), ())), precision)
+    Xr = dotB(c2r.T, yr) - dotB(c2i.T, yi)
+    Xi = dotB(c2r.T, yi) + dotB(c2i.T, yr)
+    return Xr.reshape(n, b), Xi.reshape(n, b)
+
+
+def ifft_major(Xr: jax.Array, Xi: jax.Array,
+               precision=jax.lax.Precision.HIGHEST
+               ) -> tuple[jax.Array, jax.Array]:
+    """Inverse FFT along the MAJOR axis: [n, b] → [n, b], matching
+    `fft_rotate`'s output indexing (includes the 1/n scale)."""
+    n, b = Xr.shape
+    fac = _balanced_pair(n)
+    if fac is None:
+        cr, ci = map(jnp.asarray, _dft_tables(n, +1))       # [m, s]
+        dot = _mk_dot((((1,), (0,)), ((), ())), precision)
+        # lhs [s, m]; rhs [m, b] → out [s, b]
+        zr = (dot(cr.T, Xr) - dot(ci.T, Xi)) / n
+        zi = (dot(cr.T, Xi) + dot(ci.T, Xr)) / n
+        return zr, zi
+    n1, n2 = fac
+    Br, Bi, d1r, d1i = map(jnp.asarray, _rot_inv_tables(n, n1, n2))
+    X3r = Xr.reshape(n2, n1, b)
+    X3i = Xi.reshape(n2, n1, b)
+    # stage A': T[k1, j2, b] = Σ_{k2} B[k1, j2, k2]·X3[k2, k1, b]
+    dotA = _mk_dot((((2,), (0,)), ((0,), (1,))), precision)
+    tr = dotA(Br, X3r) - dotA(Bi, X3i)
+    ti = dotA(Br, X3i) + dotA(Bi, X3r)
+    # stage B': z[j1, j2, b] = Σ_{k1} D[j1, k1]·T[k1, j2, b]
+    dotB = _mk_dot((((1,), (0,)), ((), ())), precision)
+    zr = dotB(d1r, tr) - dotB(d1i, ti)
+    zi = dotB(d1r, ti) + dotB(d1i, tr)
+    return zr.reshape(n, b), zi.reshape(n, b)
+
+
+def _mk_dot(dimension_numbers, precision):
+    from functools import partial
+    return partial(jax.lax.dot_general, dimension_numbers=dimension_numbers,
+                   precision=precision, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
 # precision helpers: manual split-bf16 matmuls
 # ---------------------------------------------------------------------------
 

@@ -86,6 +86,34 @@ def demod_iq(state: DemodState, y: jax.Array) -> tuple[DemodState, jax.Array]:
     return state, y
 
 
+MODE_IDS = {"USB": 0, "LSB": 0, "CW": 0, "AM": 1, "NBFM": 2}
+
+
+def demodulate_runtime(state: DemodState, y: jax.Array, fs: float,
+                       mode_id: jax.Array, max_dev_hz: float = 5000.0
+                       ) -> tuple[DemodState, jax.Array]:
+    """Runtime-dispatched demodulator: `mode_id` [*batch] int32 selects
+    per batch row (0 = SSB/CW, 1 = AM, 2 = NBFM — `MODE_IDS`).
+
+    All three demods evaluate (cheap elementwise work on small
+    interactive chunks) and a where-select keeps the right one, so a
+    mode change on any slot of a batched multi-receiver program (the
+    dual-RX surface, reference supersdr.py:575-639) is a parameter
+    update — never a retrace. State threads all branches (unused fields
+    stay consistent: dc state freezes at its last value only if AM is
+    deselected, which is exactly the serial chain's behavior on a mode
+    change since `make_params` resets nothing either).
+    """
+    _, ssb = demod_ssb(state, y)
+    st_am, am = demod_am(state, y)
+    st_fm, fm = demod_nbfm(state, y, fs, max_dev_hz)
+    sel = jnp.asarray(mode_id)[..., None]
+    audio = jnp.where(sel == 1, am, jnp.where(sel == 2, fm, ssb))
+    st = DemodState(last_sample=st_fm.last_sample,
+                    dc_x=st_am.dc_x, dc_y=st_am.dc_y)
+    return st, audio
+
+
 def demodulate(mode: str, state: DemodState, y: jax.Array, fs: float,
                axis_name: str | None = None) -> tuple[DemodState, jax.Array]:
     """Dispatch by mode name (static — one trace per mode)."""

@@ -162,17 +162,41 @@ def linear_scan_const(a, b: jax.Array, y0, block: int = 128) -> jax.Array:
     return y.reshape(*b.shape[:-1], n)
 
 
+def blocked_cummax(s: jax.Array, block: int = 128) -> jax.Array:
+    """Cumulative max along the last axis, two-level.
+
+    XLA lowers `lax.cummax` over a length-n axis to ~log2(n) full-array
+    shifted-max passes (14 HBM passes at the 16k bench shape). Blocking
+    cuts that to log2(block) passes over the same data plus a tiny
+    block-tail scan: reshape [nb, B], cummax within blocks, cummax the
+    nb block tails (negligible — n/B elements), combine with one
+    broadcast max. ~half the HBM traffic at B=128.
+    """
+    n = s.shape[-1]
+    if n % block or n <= block:
+        return jax.lax.cummax(s, axis=s.ndim - 1)
+    nb = n // block
+    sb = s.reshape(*s.shape[:-1], nb, block)
+    within = jax.lax.cummax(sb, axis=s.ndim)           # [..., nb, B]
+    tails = jax.lax.cummax(within[..., -1], axis=s.ndim - 1)  # [..., nb]
+    neg_inf = jnp.asarray(-jnp.inf, s.dtype)
+    prev = jnp.concatenate(
+        [jnp.full_like(tails[..., :1], neg_inf), tails[..., :-1]], axis=-1)
+    return jnp.maximum(within, prev[..., None]).reshape(s.shape)
+
+
 def maxplus_scan_const(a, b: jax.Array, y0) -> jax.Array:
     """`maxplus_scan` specialized to a time-CONSTANT decrement `a`:
     y[n] = max(y[n-1] + a, b[n]).  With s[j] = b[j] − j·a this collapses
-    to y[n] = n·a + max(cummax(s)[n], y0 + a) — one cumulative max over a
-    single array instead of an associative scan over (a, b) pairs."""
+    to y[n] = n·a + max(cummax(s)[n], y0 + a) — one (blocked) cumulative
+    max over a single array instead of an associative scan over (a, b)
+    pairs."""
     b = jnp.asarray(b)
     n = b.shape[-1]
     j = jnp.arange(n, dtype=b.dtype)
     a = jnp.asarray(a, b.dtype)
     s = b - j * a
-    cm = jax.lax.cummax(s, axis=b.ndim - 1)
+    cm = blocked_cummax(s)
     y0b = jnp.asarray(y0, b.dtype)
     if y0b.ndim < b.ndim:
         y0b = y0b[..., None]

@@ -88,9 +88,13 @@ class ChainConfig:
             raise ValueError("chunk must be a multiple of os_block")
         if self.n_taps % 2 == 0:
             raise ValueError("n_taps must be odd")
-        if self.passband_impl not in ("fft", "matmul", "matmul_real"):
-            raise ValueError("passband_impl must be 'fft', 'matmul' or "
-                             "'matmul_real'")
+        if self.passband_impl not in ("fft", "fftmxu", "matmul",
+                                      "matmul_real"):
+            raise ValueError("passband_impl must be 'fft', 'fftmxu', "
+                             "'matmul' or 'matmul_real'")
+        if self.passband_impl == "fftmxu" and self.chunk != self.os_block:
+            raise ValueError("passband_impl='fftmxu' runs one overlap-save"
+                             " row per chunk (os_block must equal chunk)")
         if self.audio_rate % self.iq_rate:
             _, M = self.resample_LM
             if self.chunk % M:
@@ -177,6 +181,9 @@ class ChainParams(NamedTuple):
     W_interp: jax.Array | None = None  # [window, L·block_in] blocked-
                                      # Toeplitz interpolation matrix
                                      # (resample_impl="matmul")
+    mode_id: jax.Array | None = None  # [*batch] int32 per-slot demod
+                                     # select (cfg.mode == "MULTI" only;
+                                     # ops/demod.MODE_IDS)
 
 
 class ChainState(NamedTuple):
@@ -329,10 +336,45 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
             u = u * params.rot_out
         y = cx.to_complex(u)
         y_rows = y.reshape(*batch, n_rows, cfg.os_block)
+    elif cfg.passband_impl == "fftmxu":
+        # layout-rotating MXU overlap-save (round 3): forward FFT rotates
+        # the batch axis into the lanes ([B, F] → [F, B]), the passband
+        # mask multiplies down the major axis, the inverse runs major-
+        # axis in place, and ONE transpose returns [B, chunk]. All FFT
+        # FLOPs are dot_generals with full-lane minor dims — the formula
+        # that made round 2 reject FFT passbands (~3× off roofline) was
+        # an artifact of the old small-dim-swapping four-step layout.
+        prec = cx.resolve_precision(cfg.passband_precision)
+        xs = cx.split(x)
+        F = plan.fft_size
+        seg_r = jnp.concatenate([state.os_carry.re, xs.re], axis=-1)
+        seg_i = jnp.concatenate([state.os_carry.im, xs.im], axis=-1)
+        pad = F - seg_r.shape[-1]
+        if pad:
+            zpad = jnp.zeros((*seg_r.shape[:-1], pad), jnp.float32)
+            seg_r = jnp.concatenate([seg_r, zpad], axis=-1)
+            seg_i = jnp.concatenate([seg_i, zpad], axis=-1)
+        b2r = seg_r.reshape(-1, F)
+        b2i = seg_i.reshape(-1, F)
+        Xr, Xi = cx.fft_rotate(b2r, b2i, precision=prec)      # [F, B]
+        Hr = params.H_pass.re[:, None]
+        Hi = params.H_pass.im[:, None]
+        Yr = Xr * Hr - Xi * Hi
+        Yi = Xr * Hi + Xi * Hr
+        zr, zi = cx.ifft_major(Yr, Yi, precision=prec)        # [F, B]
+        sl = slice(plan.overlap, plan.overlap + cfg.chunk)
+        yr = zr[sl, :].T.reshape(*batch, cfg.chunk)
+        yi = zi[sl, :].T.reshape(*batch, cfg.chunk)
+        y = jax.lax.complex(yr, yi)
+        y_rows = y.reshape(*batch, n_rows, cfg.os_block)
     else:
         rows = x.reshape(*batch, n_rows, cfg.os_block)
-        y_rows = overlap_save.overlap_save_batch_c(plan,
-                                                   cx.to_complex(params.H_pass),
+        H = cx.to_complex(params.H_pass)
+        if params.H_pass.re.ndim > 1:
+            # per-slot passbands (batched multi-receiver): broadcast the
+            # [*batch, fft] responses over the rows axis
+            H = H[..., None, :]
+        y_rows = overlap_save.overlap_save_batch_c(plan, H,
                                                    cx.to_complex(state.os_carry),
                                                    rows)
         y = y_rows.reshape(*batch, cfg.chunk)
@@ -344,8 +386,14 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
     #    RSSI per 512-sample SND frame; here one per overlap-save row)
     rssi = smeter.rssi_db(y_rows)
 
-    # 4. demodulate
-    dstate, audio = demod_ops.demodulate(cfg.mode, state.demod, y, cfg.iq_rate)
+    # 4. demodulate (MULTI: per-slot runtime select — mode changes on a
+    #    batched multi-receiver program never retrace)
+    if cfg.mode.upper() == "MULTI":
+        dstate, audio = demod_ops.demodulate_runtime(
+            state.demod, y, cfg.iq_rate, params.mode_id, cfg.max_dev_hz)
+    else:
+        dstate, audio = demod_ops.demodulate(cfg.mode, state.demod, y,
+                                             cfg.iq_rate)
 
     # 5. AGC
     astate, audio = agc_ops.apply(params.agc, state.agc, audio,

@@ -140,6 +140,9 @@ class StreamEngine:
                 self._sleep(self.cfg.backoff_closed_s)
                 continue
             self.status = "streaming"
+            if self.reconnects > 0 and self.governor is not None:
+                # a reconnect starts a fresh stream timeline
+                self.governor.reset()
             try:
                 self._pump(source)
                 if self._pending_factory is not None:

@@ -57,6 +57,15 @@ class LatencyGovernor:
     total_delay_ms: float = 0.0
     _last_ms: float | None = field(default=None, repr=False)
 
+    def reset(self) -> None:
+        """Fresh stream timeline (a reconnect starts a NEW stream — the
+        reference rebuilds kiwi_sound outright, supersdr.py:743-796):
+        without this, dead air before a disconnect leaves a permanent
+        positive backlog and the governor drops every frame forever."""
+        self.late = False
+        self.total_delay_ms = 0.0
+        self._last_ms = None
+
     def on_frame(self, now_ms: float, delivered: bool = True) -> str:
         """Record one frame arrival at wall-clock `now_ms`.
 

@@ -191,3 +191,26 @@ def test_rational_chunk_must_divide_M():
     with pytest.raises(ValueError):
         chain.ChainConfig(mode="USB", iq_rate=20250, audio_rate=48000,
                           chunk=2048, os_block=2048)
+
+
+def test_fftmxu_passband_matches_fft_streaming(rng):
+    """passband_impl='fftmxu' (layout-rotating MXU overlap-save) is
+    sample-equivalent to the plain fft path across streamed chunks,
+    including the carried filter history."""
+    from supersdr_tpu.runtime import chain as chain_mod
+    n, chunk = 4096, 2048
+    iq = ((rng.normal(size=(3, n)) + 1j * rng.normal(size=(3, n))) * 0.1
+          ).astype(np.complex64)
+    outs = {}
+    for impl in ("fft", "fftmxu"):
+        cfg = chain_mod.ChainConfig(mode="AM", chunk=chunk, os_block=chunk,
+                                    n_taps=257, passband_impl=impl)
+        p = chain_mod.make_params(cfg)
+        s = chain_mod.init_state(cfg, (3,))
+        parts = []
+        for i in range(0, n, chunk):
+            s, out = chain_mod.process(cfg, p, s, iq[:, i:i + chunk])
+            parts.append(np.asarray(out.audio))
+        outs[impl] = np.concatenate(parts, axis=-1)
+    err = np.abs(outs["fftmxu"] - outs["fft"]).max()
+    assert err < 1e-4 * np.abs(outs["fft"]).max()

