@@ -57,21 +57,15 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 _CACHE = os.path.join(_REPO, ".jax_cache")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
 
-PROFILES = {
-    # full-pipeline A/B winners (benchmarks/ab_full.py, results in
-    # docs/PERFORMANCE.md): lane-layout mxu2 channelizer + f16 fold +
-    # blocked-Toeplitz matmul passband and resampler
-    "fast": dict(passband_impl="matmul", passband_precision="default",
-                 chan_impl="mxu2", chan_precision="default",
-                 chan_fold_dtype="f16", resample_impl="matmul",
-                 resample_precision="high"),
-    "quality": dict(passband_impl="matmul", passband_precision="high",
-                    chan_impl="mxu2", chan_precision="high",
-                    chan_fold_dtype="f16", resample_impl="matmul",
-                    resample_precision="high"),
-}
+def _profiles():
+    # single source of truth: supersdr_tpu.runtime.wideband.PROFILES
+    sys.path.insert(0, _REPO)
+    from supersdr_tpu.runtime.wideband import PROFILES
+    return PROFILES
+
+
 PROFILE = os.environ.get("BENCH_PROFILE", "fast")
-TUNING = PROFILES[PROFILE]
+TUNING = _profiles()[PROFILE]
 
 SMALL = dict(fs_in=192_000, n_chan=16, chunk_in=32_768, mode="AM",
              taps_per=8, n_taps=257, audio_rate=48_000)

@@ -46,19 +46,26 @@ def bench_wideband():
     from supersdr_tpu.ops import cx
     from supersdr_tpu.runtime import wideband
 
+    import jax
+    import jax.numpy as jnp
+
     cfg = wideband.WidebandConfig(fs_in=30_720_000, n_chan=2560,
                                   chunk_in=2560 * (16384 - 256), mode="AM",
                                   taps_per=8, n_taps=257, audio_rate=48_000,
-                                  passband_impl="matmul",
-                                  passband_precision="high",
-                                  mxu_chan_fft=True)
+                                  **wideband.PROFILES["fast"])
     params = wideband.make_params(cfg)
     state = wideband.init_state(cfg)
-    rng = np.random.default_rng(0)
     n_scan = 2
-    iq = cx.as_cx(((rng.normal(size=(n_scan, cfg.chunk_in))
-                    + 1j * rng.normal(size=(n_scan, cfg.chunk_in))) * 0.05
-                   ).astype(np.complex64))
+
+    # device-generated input: the tunnel moves host buffers at ~1 MB/s
+    @jax.jit
+    def gen(key):
+        kr, ki = jax.random.split(key)
+        shp = (n_scan, cfg.chunk_in)
+        return cx.CX(0.05 * jax.random.normal(kr, shp, jnp.float32),
+                     0.05 * jax.random.normal(ki, shp, jnp.float32))
+
+    iq = gen(jax.random.PRNGKey(0))
     st, audio = wideband.process_many(cfg, params, state, iq)
     _fetch_stat(audio)
 
@@ -80,14 +87,26 @@ def bench_chain_only():
     from supersdr_tpu.runtime import chain
 
     n_rx, chunk = 2560, 16128
+    import jax
+    import jax.numpy as jnp
+
     cfg = chain.ChainConfig(mode="AM", iq_rate=12000, audio_rate=48000,
-                            chunk=chunk, os_block=chunk, n_taps=257)
+                            chunk=chunk, os_block=chunk, n_taps=257,
+                            nco_enabled=False,
+                            passband_impl="matmul",
+                            passband_precision="default",
+                            resample_impl="matmul",
+                            resample_precision="high")
     params = chain.make_params(cfg, freq_offset_hz=np.zeros(n_rx))
     state = chain.init_state(cfg, (n_rx,))
-    rng = np.random.default_rng(1)
-    iq = cx.as_cx(((rng.normal(size=(n_rx, chunk))
-                    + 1j * rng.normal(size=(n_rx, chunk))) * 0.05
-                   ).astype(np.complex64))
+
+    @jax.jit
+    def gen(key):
+        kr, ki = jax.random.split(key)
+        return cx.CX(0.05 * jax.random.normal(kr, (n_rx, chunk), jnp.float32),
+                     0.05 * jax.random.normal(ki, (n_rx, chunk), jnp.float32))
+
+    iq = gen(jax.random.PRNGKey(1))
     st, out = chain.process(cfg, params, state, iq)
     _fetch_stat(out.audio)
 
@@ -112,10 +131,16 @@ def bench_waterfall():
 
     nfft, rows_per_call, n_avg = 1024, 4096, 10
     win = spectrum.spectrum_window(nfft)
-    rng = np.random.default_rng(2)
-    iq = cx.as_cx(((rng.normal(size=(rows_per_call * nfft,))
-                    + 1j * rng.normal(size=(rows_per_call * nfft,))) * 0.1
-                   ).astype(np.complex64))
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        kr, ki = jax.random.split(key)
+        n = rows_per_call * nfft
+        return cx.CX(0.1 * jax.random.normal(kr, (n,), jnp.float32),
+                     0.1 * jax.random.normal(ki, (n,), jnp.float32))
+
+    iq = gen(jax.random.PRNGKey(2))
 
     @jax.jit
     def wf(iq):

@@ -42,6 +42,7 @@ VARIANTS = [
     ("taps_per4(PFB half fold)", {"taps_per": 4}),
     ("quality_profile", {"passband_precision": "high",
                          "chan_precision": "high"}),
+    ("no_channelizer(stub)", {"chan_impl": "stub"}),
 ]
 
 

@@ -77,7 +77,13 @@ def build_parser() -> argparse.ArgumentParser:
     wb.add_argument("--mode", default="AM")
     wb.add_argument("--top", type=int, default=8,
                     help="write audio for the N strongest channels")
-    wb.add_argument("--passband", default="fft", choices=("fft", "matmul"),
+    wb.add_argument("--profile", default=None, choices=("fast", "quality"),
+                    help="TPU kernel tuning profile (bench.py PROFILES): "
+                         "'fast' = bf16 matmuls (~55 dB oracle SNR, the "
+                         "1.2 Gsps/chip bench config), 'quality' = 3-pass "
+                         "(~76 dB). Default: full-precision reference path")
+    wb.add_argument("--passband", default="fft",
+                    choices=("fft", "fftmxu", "matmul"),
                     help="passband filter: overlap-save FFT or the "
                          "Toeplitz MXU matmul (ops/fir_matmul.py)")
 
@@ -202,10 +208,16 @@ def cmd_wideband(args) -> int:
         print("capture too short for this channel count")
         return 1
     z = z[: (len(z) // chunk_in) * chunk_in]
+    tuning = dict(passband_impl=args.passband)
+    if getattr(args, "profile", None):
+        from supersdr_tpu.ops import channelizer as chz
+        tuning = dict(wideband.PROFILES[args.profile])
+        if not chz.mxu2_supported(n_chan):
+            tuning["chan_impl"] = "legacy"   # e.g. large-prime n_chan
     cfg = wideband.WidebandConfig(fs_in=fs_eff, n_chan=n_chan,
                                   chunk_in=chunk_in, mode=args.mode,
                                   audio_rate=4 * fs_eff // n_chan,
-                                  passband_impl=args.passband)
+                                  **tuning)
     params = wideband.make_params(cfg)
     state = wideband.init_state(cfg)
     audio_parts = []

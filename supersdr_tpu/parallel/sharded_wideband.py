@@ -58,7 +58,19 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
         idx = jax.lax.axis_index(AXIS)
         halo = scans.left_context(iqc, plan.history, AXIS)
         head = jnp.where(idx == 0, cx.to_complex(state.pfb_carry), halo)
-        _, chans = channelizer.channelize_c(plan, params.W_pfb, head, iqc)
+        if cfg.chan_impl in ("mxu2", "mxu2conv"):
+            # the mesh honors the serial pipeline's channelizer tuning
+            # (lane-layout DIF + optional f16 fold, ops/channelizer.py)
+            _, chans = channelizer.channelize_mxu2_c(
+                plan, params.W_pfb, head, iqc,
+                fold_impl="conv" if cfg.chan_impl == "mxu2conv"
+                else "slices",
+                precision=cx.resolve_precision(cfg.chan_precision),
+                fold_dtype=(jnp.float16 if cfg.chan_fold_dtype == "f16"
+                            else jnp.float32))
+        else:
+            _, chans = channelizer.channelize_c(plan, params.W_pfb, head,
+                                                iqc)
         # chans: [n_chan, frames_local]
         pfb_carry = iqc[..., -plan.history:]
 

@@ -22,6 +22,22 @@ from supersdr_tpu.ops import channelizer, cx
 from supersdr_tpu.runtime import chain
 
 
+# On-chip A/B-winning kernel tuning (benchmarks/ab_full.py, measured
+# ladder in docs/PERFORMANCE.md). "fast" is the 1.2 Gsps/chip bench
+# config (~55 dB oracle audio SNR); "quality" trades ~20 % throughput
+# for 3-pass matmuls (~76 dB, limited by the f16 fold).
+PROFILES = {
+    "fast": dict(passband_impl="matmul", passband_precision="default",
+                 chan_impl="mxu2", chan_precision="default",
+                 chan_fold_dtype="f16", resample_impl="matmul",
+                 resample_precision="high"),
+    "quality": dict(passband_impl="matmul", passband_precision="high",
+                    chan_impl="mxu2", chan_precision="high",
+                    chan_fold_dtype="f16", resample_impl="matmul",
+                    resample_precision="high"),
+}
+
+
 @dataclass(frozen=True)
 class WidebandConfig:
     """fs_in must equal n_chan * chain.iq_rate (critical sampling)."""
@@ -65,9 +81,9 @@ class WidebandConfig:
             raise ValueError("n_chan must divide fs_in")
         if self.chunk_in % self.n_chan:
             raise ValueError("chunk_in must be a multiple of n_chan")
-        if self.chan_impl not in ("legacy", "mxu2", "mxu2conv"):
-            raise ValueError("chan_impl must be 'legacy', 'mxu2' or "
-                             "'mxu2conv'")
+        if self.chan_impl not in ("legacy", "mxu2", "mxu2conv", "stub"):
+            raise ValueError("chan_impl must be 'legacy', 'mxu2', "
+                             "'mxu2conv' or 'stub'")
 
     @property
     def iq_rate(self) -> int:
@@ -141,6 +157,14 @@ def process_traced(cfg: WidebandConfig, params: WidebandParams,
         pfb_carry, chans = pfb_fold.channelize_pallas_c(
             plan, G, cx.to_complex(state.pfb_carry), cx.to_complex(iq),
             interpret=interpret)
+    elif cfg.chan_impl == "stub":
+        # knockout-profiling stub (semantics-free): reshape-decimate +
+        # transpose — the minimal [chunk]→[M, frames] layout work with
+        # no fold and no FFT, so `full - stub` bounds the channelizer's
+        # in-context compute cost
+        x2 = cx.to_complex(iq).reshape(cfg.chunk_per_chan, cfg.n_chan)
+        chans = jnp.swapaxes(x2, 0, 1)
+        pfb_carry = cx.to_complex(state.pfb_carry)
     elif cfg.chan_impl in ("mxu2", "mxu2conv"):
         pfb_carry, chans = channelizer.channelize_mxu2_c(
             plan, params.W_pfb, cx.to_complex(state.pfb_carry),

@@ -186,3 +186,29 @@ def test_time_sharded_rational_rate_equals_serial():
     np.testing.assert_allclose(np.asarray(out_sh.audio),
                                np.asarray(out_ref.audio),
                                rtol=2e-3, atol=2e-4)
+
+
+def test_sharded_wideband_fast_profile_matches_serial():
+    """The mesh honors the shipped fast-profile channelizer tuning
+    (mxu2 DIF + f16 fold + matmul passband/resampler): the 8-device
+    sharded wideband equals the serial pipeline on the same config."""
+    import numpy as np
+    from supersdr_tpu.parallel import sharded_wideband
+    from supersdr_tpu.runtime import wideband
+
+    cfg = wideband.WidebandConfig(fs_in=96_000, n_chan=8,
+                                  chunk_in=8 * 8 * 512, mode="AM",
+                                  taps_per=8, n_taps=129,
+                                  **wideband.PROFILES["fast"])
+    m = sharded_wideband.make_mesh()
+    proc = sharded_wideband.build(cfg, m)
+    p = wideband.make_params(cfg)
+    rng = np.random.default_rng(0)
+    iq = ((rng.normal(size=cfg.chunk_in)
+           + 1j * rng.normal(size=cfg.chunk_in)) * 0.05
+          ).astype(np.complex64)
+    _, audio, _ = proc(p, wideband.init_state(cfg), iq)
+    _, out = wideband.process(cfg, p, wideband.init_state(cfg), iq)
+    got = np.asarray(audio)
+    want = np.asarray(out.audio)
+    assert np.abs(got - want).max() < 1e-4 * np.abs(want).max()
