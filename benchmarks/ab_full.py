@@ -96,6 +96,17 @@ VARIANTS = [
      "chan_impl": "mxu2", "chan_precision": "high",
      "chan_fold_dtype": "f16", "resample_impl": "matmul",
      "resample_precision": "high"},                                # 14
+    # Mosaic compiles as of round 3: single-VMEM-pass Pallas fold (f32)
+    {**BASE, "chan_impl": "mxu2pallas", "chan_precision": "default",
+     "resample_impl": "matmul", "passband_precision": "default",
+     "resample_precision": "high"},                                # 15
+    {**BASE, "chan_impl": "mxu2pallas", "chan_precision": "high",
+     "resample_impl": "matmul",
+     "resample_precision": "high"},                                # 16
+    # quality-with-pallas: full-precision fold lifts the f16 76 dB floor
+    {"passband_impl": "matmul", "passband_precision": "high",
+     "chan_impl": "mxu2pallas", "chan_precision": "high",
+     "resample_impl": "matmul", "resample_precision": "high"},     # 17
 ]
 
 

@@ -43,6 +43,9 @@ VARIANTS = [
     ("quality_profile", {"passband_precision": "high",
                          "chan_precision": "high"}),
     ("no_channelizer(stub)", {"chan_impl": "stub"}),
+    ("stub+iq", {"chan_impl": "stub", "mode": "IQ"}),
+    ("empty(stub+iq+taps1)", {"chan_impl": "stub", "mode": "IQ",
+                              "n_taps": 1}),
 ]
 
 

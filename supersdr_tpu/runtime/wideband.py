@@ -24,16 +24,19 @@ from supersdr_tpu.runtime import chain
 
 # On-chip A/B-winning kernel tuning (benchmarks/ab_full.py, measured
 # ladder in docs/PERFORMANCE.md). "fast" is the 1.2 Gsps/chip bench
-# config (~55 dB oracle audio SNR); "quality" trades ~20 % throughput
-# for 3-pass matmuls (~76 dB, limited by the f16 fold).
+# config (~55 dB oracle audio SNR); "quality" uses 3-pass matmuls and
+# the full-precision single-VMEM-pass Pallas fold (~83 dB — round-2
+# fidelity at +30 % throughput). The fold needs a working Mosaic
+# toolchain and lane-aligned n_chan; it degrades gracefully to the f32
+# slice fold otherwise (ops/channelizer.py).
 PROFILES = {
     "fast": dict(passband_impl="matmul", passband_precision="default",
                  chan_impl="mxu2", chan_precision="default",
                  chan_fold_dtype="f16", resample_impl="matmul",
                  resample_precision="high"),
     "quality": dict(passband_impl="matmul", passband_precision="high",
-                    chan_impl="mxu2", chan_precision="high",
-                    chan_fold_dtype="f16", resample_impl="matmul",
+                    chan_impl="mxu2pallas", chan_precision="high",
+                    resample_impl="matmul",
                     resample_precision="high"),
 }
 
@@ -81,9 +84,10 @@ class WidebandConfig:
             raise ValueError("n_chan must divide fs_in")
         if self.chunk_in % self.n_chan:
             raise ValueError("chunk_in must be a multiple of n_chan")
-        if self.chan_impl not in ("legacy", "mxu2", "mxu2conv", "stub"):
+        if self.chan_impl not in ("legacy", "mxu2", "mxu2conv",
+                                  "mxu2pallas", "stub"):
             raise ValueError("chan_impl must be 'legacy', 'mxu2', "
-                             "'mxu2conv' or 'stub'")
+                             "'mxu2conv', 'mxu2pallas' or 'stub'")
 
     @property
     def iq_rate(self) -> int:
@@ -165,11 +169,12 @@ def process_traced(cfg: WidebandConfig, params: WidebandParams,
         x2 = cx.to_complex(iq).reshape(cfg.chunk_per_chan, cfg.n_chan)
         chans = jnp.swapaxes(x2, 0, 1)
         pfb_carry = cx.to_complex(state.pfb_carry)
-    elif cfg.chan_impl in ("mxu2", "mxu2conv"):
+    elif cfg.chan_impl in ("mxu2", "mxu2conv", "mxu2pallas"):
+        fold_impl = {"mxu2": "slices", "mxu2conv": "conv",
+                     "mxu2pallas": "pallas"}[cfg.chan_impl]
         pfb_carry, chans = channelizer.channelize_mxu2_c(
             plan, params.W_pfb, cx.to_complex(state.pfb_carry),
-            cx.to_complex(iq),
-            fold_impl="conv" if cfg.chan_impl == "mxu2conv" else "slices",
+            cx.to_complex(iq), fold_impl=fold_impl,
             precision=cx.resolve_precision(cfg.chan_precision),
             fold_dtype=(jnp.float16 if cfg.chan_fold_dtype == "f16"
                         else jnp.float32))
@@ -212,6 +217,18 @@ def process_many_traced(cfg: WidebandConfig, params: WidebandParams,
         st2, out = process_traced(cfg, params, st, chunk)
         return st2, out.audio
 
+    if cfg.chan_impl == "mxu2pallas":
+        # Pallas kernels inside a lax.scan body fail on this runtime
+        # (UNIMPLEMENTED at execution; isolated round 3 — top-level
+        # pallas_call compiles and runs fine). Unroll the chunk loop in
+        # the trace instead: same one-dispatch batching, marginally
+        # larger program.
+        st = state
+        outs = []
+        for i in range(iq_chunks.shape[0]):
+            st, audio = body(st, iq_chunks[i])
+            outs.append(audio)
+        return st, jnp.stack(outs, 0)
     return jax.lax.scan(body, state, iq_chunks)
 
 

@@ -94,3 +94,48 @@ def test_pfb_batched(rng):
     c0 = channelizer.init_carry(plan)
     _, ch0 = channelizer.channelize(plan, W, c0, jnp.asarray(x[0]))
     np.testing.assert_allclose(np.asarray(ch)[0], np.asarray(ch0), atol=1e-6)
+
+
+def test_mxu2_matches_legacy_all_sizes(rng):
+    """The lane-layout DIF channelizer (mxu2) is numerically equivalent
+    to channelize_c across direct (M ≤ 256) and two-stage factorings,
+    fold impls, and the f16 fold dtype (within its ~74 dB floor)."""
+    import jax
+    import jax.numpy as jnp
+    from supersdr_tpu.ops import channelizer as ch
+
+    for M, K, nf in [(16, 8, 64), (256, 4, 16), (640, 8, 8), (2560, 8, 4)]:
+        plan, proto = ch.design(M, K)
+        W = ch.taps_matrix(plan, proto)
+        carry = jnp.zeros(plan.history, jnp.complex64)
+        x = jnp.asarray((rng.normal(size=M * nf)
+                         + 1j * rng.normal(size=M * nf)).astype(np.complex64))
+        _, ref = ch.channelize_c(plan, W, carry, x)
+        for fold, fd, tol in [("slices", jnp.float32, 1e-5),
+                              ("conv", jnp.float32, 1e-5),
+                              ("slices", jnp.float16, 1e-3)]:
+            _, got = jax.jit(lambda c, xx: ch.channelize_mxu2_c(
+                plan, W, c, xx, fold_impl=fold, fold_dtype=fd))(carry, x)
+            err = float(np.linalg.norm(np.asarray(got) - np.asarray(ref))
+                        / np.linalg.norm(np.asarray(ref)))
+            assert err < tol, (M, fold, str(fd), err)
+
+
+def test_mxu2_streaming_continuity(rng):
+    """Two consecutive mxu2 chunks equal one big chunk (carry exact)."""
+    import jax
+    import jax.numpy as jnp
+    from supersdr_tpu.ops import channelizer as ch
+
+    M, K = 640, 8
+    plan, proto = ch.design(M, K)
+    W = ch.taps_matrix(plan, proto)
+    x = jnp.asarray((rng.normal(size=M * 16)
+                     + 1j * rng.normal(size=M * 16)).astype(np.complex64))
+    c0 = jnp.zeros(plan.history, jnp.complex64)
+    f = jax.jit(lambda c, xx: ch.channelize_mxu2_c(plan, W, c, xx))
+    _, yfull = f(c0, x)
+    ca, ya = f(c0, x[: M * 8])
+    _, yb = f(ca, x[M * 8:])
+    y2 = np.concatenate([np.asarray(ya), np.asarray(yb)], axis=-1)
+    assert np.abs(y2 - np.asarray(yfull)).max() < 1e-5
