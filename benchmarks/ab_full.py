@@ -107,6 +107,15 @@ VARIANTS = [
     {"passband_impl": "matmul", "passband_precision": "high",
      "chan_impl": "mxu2pallas", "chan_precision": "high",
      "resample_impl": "matmul", "resample_precision": "high"},     # 17
+    # DIT fft form (no batched dot dims) vs the DIF default, in context
+    {**BASE, "chan_impl": "mxu2", "chan_precision": "default",
+     "chan_fold_dtype": "f16", "resample_impl": "matmul",
+     "passband_precision": "default", "resample_precision": "high",
+     "chan_fft_form": "dit"},                                      # 18
+    {"passband_impl": "matmul", "passband_precision": "high",
+     "chan_impl": "mxu2pallas", "chan_precision": "high",
+     "resample_impl": "matmul", "resample_precision": "high",
+     "chan_fft_form": "dit"},                                      # 19
 ]
 
 

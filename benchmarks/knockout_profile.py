@@ -46,6 +46,7 @@ VARIANTS = [
     ("stub+iq", {"chan_impl": "stub", "mode": "IQ"}),
     ("empty(stub+iq+taps1)", {"chan_impl": "stub", "mode": "IQ",
                               "n_taps": 1}),
+    ("chan_no_fft(fold+T)", {"chan_impl": "nofft"}),
 ]
 
 

@@ -239,6 +239,48 @@ def _dif_tables(M: int, n1: int, n2: int
 _make_dot = cx.make_dot  # see ops/cx.py (split-bf16 "bf16x3" tier)
 
 
+def _fft_rotate_dit(fr: jax.Array, fi: jax.Array, M: int, precision
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Alternative DIT factoring of the rotate-FFT: r = j2·n1 + j1,
+    m = k1·n2 + k2, twiddle as a separate elementwise pass, and NO
+    batched dot dims (the DIF form batches over j2, which sits on the
+    minor axis of the fold — a layout XLA may satisfy by materializing a
+    transpose in some fusion contexts). A/B'd in-pipeline against the
+    DIF form; see docs/PERFORMANCE.md."""
+    nf = fr.shape[0]
+    fac = _pick_factors(M)
+    if fac is None:
+        return _fft_rotate(fr, fi, M, precision)
+    n1, n2 = fac                     # n1 = A small (contracted), n2 = B lanes
+    # r = a·B + b, m = k1·A + k2:
+    #   X[k1·A+k2] = Σ_b W_B^{b·k1} · W_M^{b·k2} · Σ_a W_A^{a·k2} x[aB+b]
+    c2r, c2i = map(jnp.asarray, cx._dft_tables(n1, -1))      # [a, k2] A×A
+    twr, twi = map(jnp.asarray, cx._twiddle_tables(n2, n1, -1))  # [b, k2]
+    d1r, d1i = map(jnp.asarray, cx._dft_tables(n2, -1))      # [b, k1] B×B
+    f3r = fr.reshape(nf, n1, n2)
+    f3i = fi.reshape(nf, n1, n2)
+    # stage 1: contract the SECOND-minOR axis (a, size A), no batch dims:
+    # Y[k2, nf, b] = Σ_a C[a, k2] · f3[nf, a, b]
+    dn1 = (((1,), (1,)), ((), ()))
+    dot1 = partial(jax.lax.dot_general, dimension_numbers=dn1,
+                   precision=precision, preferred_element_type=jnp.float32)
+    yr = dot1(c2r.T, f3r) - dot1(c2i.T, f3i)                 # [k2, nf, b]
+    yi = dot1(c2r.T, f3i) + dot1(c2i.T, f3r)
+    # twiddle W_M^{-b·k2} broadcast [k2, 1, b] over full-lane b
+    tr = twr.T[:, None, :]
+    ti = twi.T[:, None, :]
+    zr = yr * tr - yi * ti
+    zi = yr * ti + yi * tr
+    # stage 2: contract the minor axis (b, size B):
+    # X[k1, k2, nf] = Σ_b D[b, k1] · Z[k2, nf, b]
+    dn2 = (((1,), (2,)), ((), ()))
+    dot2 = partial(jax.lax.dot_general, dimension_numbers=dn2,
+                   precision=precision, preferred_element_type=jnp.float32)
+    xr = dot2(d1r.T, zr) - dot2(d1i.T, zi)                   # [k1, k2, nf]
+    xi = dot2(d1r.T, zi) + dot2(d1i.T, zr)
+    return xr.reshape(M, nf), xi.reshape(M, nf)
+
+
 def _fft_rotate(fr: jax.Array, fi: jax.Array, M: int, precision
                 ) -> tuple[jax.Array, jax.Array]:
     """FFT over the minor axis of fold [nf, M] → chans [M, nf] planes.
@@ -303,7 +345,8 @@ def _fold_conv(g2: jax.Array, rows: jax.Array, n_frames: int, K: int
 def channelize_mxu2_c(plan: PFBPlan, W: jax.Array, carry: jax.Array,
                       x: jax.Array, *, fold_impl: str = "slices",
                       precision=jax.lax.Precision.HIGHEST,
-                      fold_dtype=jnp.float32) -> tuple[jax.Array, jax.Array]:
+                      fold_dtype=jnp.float32,
+                      fft_form: str = "dif") -> tuple[jax.Array, jax.Array]:
     """Lane-layout channelizer step (traced contexts, critical sampling).
 
     x: [n] complex64, n % n_chan == 0. Returns (new_carry, chans [M, n//M])
@@ -348,7 +391,8 @@ def channelize_mxu2_c(plan: PFBPlan, W: jax.Array, carry: jax.Array,
         fold_fn = _fold_conv if fold_impl == "conv" else _fold_slices
         fr = fold_fn(g2, rows_r, n_frames, K)
         fi = fold_fn(g2, rows_i, n_frames, K)
-    xr, xi = _fft_rotate(fr, fi, M, precision)
+    rot = _fft_rotate_dit if fft_form == "dit" else _fft_rotate
+    xr, xi = rot(fr, fi, M, precision)
     new_carry = seg[..., -plan.history:]
     return new_carry, jax.lax.complex(xr, xi)
 

@@ -78,6 +78,12 @@ class WidebandConfig:
                                         # "default" (1-pass bf16,
                                         # ~55 dB end-to-end); gate on
                                         # the oracle SNR
+    chan_fft_form: str = "dif"          # "dif" (twiddle folded into a
+                                        # j2-batched stage-A dot) or
+                                        # "dit" (no batched dot dims,
+                                        # separate twiddle pass) — same
+                                        # math, different XLA layout
+                                        # behavior; A/B'd in context
 
     def __post_init__(self):
         if self.fs_in % self.n_chan:
@@ -85,9 +91,10 @@ class WidebandConfig:
         if self.chunk_in % self.n_chan:
             raise ValueError("chunk_in must be a multiple of n_chan")
         if self.chan_impl not in ("legacy", "mxu2", "mxu2conv",
-                                  "mxu2pallas", "stub"):
+                                  "mxu2pallas", "stub", "nofft"):
             raise ValueError("chan_impl must be 'legacy', 'mxu2', "
-                             "'mxu2conv', 'mxu2pallas' or 'stub'")
+                             "'mxu2conv', 'mxu2pallas', 'stub' or "
+                             "'nofft' (stub/nofft: knockout profiling)")
 
     @property
     def iq_rate(self) -> int:
@@ -169,6 +176,23 @@ def process_traced(cfg: WidebandConfig, params: WidebandParams,
         x2 = cx.to_complex(iq).reshape(cfg.chunk_per_chan, cfg.n_chan)
         chans = jnp.swapaxes(x2, 0, 1)
         pfb_carry = cx.to_complex(state.pfb_carry)
+    elif cfg.chan_impl == "nofft":
+        # knockout-profiling: real fold (f16) + transpose, FFT skipped —
+        # `full - nofft` isolates the two DIF matmul stages in context
+        plan2 = plan
+        seg = jnp.concatenate([cx.to_complex(state.pfb_carry),
+                               cx.to_complex(iq)], axis=-1)
+        nf = cfg.chunk_per_chan
+        rows_r = jnp.real(seg).reshape(nf + cfg.taps_per - 1, cfg.n_chan
+                                       ).astype(jnp.float16)
+        rows_i = jnp.imag(seg).reshape(nf + cfg.taps_per - 1, cfg.n_chan
+                                       ).astype(jnp.float16)
+        g2 = params.W_pfb.reshape(-1)[::-1].reshape(cfg.taps_per,
+                                                    cfg.n_chan)
+        fr = channelizer._fold_slices(g2, rows_r, nf, cfg.taps_per)
+        fi = channelizer._fold_slices(g2, rows_i, nf, cfg.taps_per)
+        chans = jax.lax.complex(fr.T, fi.T)
+        pfb_carry = seg[..., -plan2.history:]
     elif cfg.chan_impl in ("mxu2", "mxu2conv", "mxu2pallas"):
         fold_impl = {"mxu2": "slices", "mxu2conv": "conv",
                      "mxu2pallas": "pallas"}[cfg.chan_impl]
@@ -177,7 +201,8 @@ def process_traced(cfg: WidebandConfig, params: WidebandParams,
             cx.to_complex(iq), fold_impl=fold_impl,
             precision=cx.resolve_precision(cfg.chan_precision),
             fold_dtype=(jnp.float16 if cfg.chan_fold_dtype == "f16"
-                        else jnp.float32))
+                        else jnp.float32),
+            fft_form=cfg.chan_fft_form)
     else:
         pfb_carry, chans = channelizer.channelize_c(
             plan, params.W_pfb, cx.to_complex(state.pfb_carry),
