@@ -116,6 +116,14 @@ VARIANTS = [
      "chan_impl": "mxu2pallas", "chan_precision": "high",
      "resample_impl": "matmul", "resample_precision": "high",
      "chan_fft_form": "dit"},                                      # 19
+    # fully-fused Pallas channelizer (fold + both FFT stages, one VMEM
+    # pass — ops/pallas/channelize_fused.py)
+    {"passband_impl": "matmul", "passband_precision": "default",
+     "chan_impl": "mxu2fused", "chan_precision": "default",
+     "resample_impl": "matmul", "resample_precision": "high"},     # 20
+    {"passband_impl": "matmul", "passband_precision": "high",
+     "chan_impl": "mxu2fused", "chan_precision": "high",
+     "resample_impl": "matmul", "resample_precision": "high"},     # 21
 ]
 
 

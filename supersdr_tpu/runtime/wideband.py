@@ -23,19 +23,21 @@ from supersdr_tpu.runtime import chain
 
 
 # On-chip A/B-winning kernel tuning (benchmarks/ab_full.py, measured
-# ladder in docs/PERFORMANCE.md). "fast" is the 1.2 Gsps/chip bench
-# config (~55 dB oracle audio SNR); "quality" uses 3-pass matmuls and
-# the full-precision single-VMEM-pass Pallas fold (~83 dB — round-2
-# fidelity at +30 % throughput). The fold needs a working Mosaic
-# toolchain and lane-aligned n_chan; it degrades gracefully to the f32
-# slice fold otherwise (ops/channelizer.py).
+# ladder in docs/PERFORMANCE.md). Both profiles use the fully-fused
+# Pallas channelizer (fold + both DIF FFT stages in one VMEM pass,
+# ops/pallas/channelize_fused.py): "fast" = 1.39 Gsps/chip at ~55 dB
+# oracle audio SNR (bf16 matmuls), "quality" = 1.17 Gsps at ~83 dB
+# (3-pass matmuls, f32 in-kernel fold/stage-A). The fused kernel needs
+# a working Mosaic toolchain and a lane-multiple n_chan factor; other
+# sizes fall back to the XLA mxu2 path automatically (wideband
+# process_traced).
 PROFILES = {
     "fast": dict(passband_impl="matmul", passband_precision="default",
-                 chan_impl="mxu2", chan_precision="default",
-                 chan_fold_dtype="f16", resample_impl="matmul",
+                 chan_impl="mxu2fused", chan_precision="default",
+                 resample_impl="matmul",
                  resample_precision="high"),
     "quality": dict(passband_impl="matmul", passband_precision="high",
-                    chan_impl="mxu2pallas", chan_precision="high",
+                    chan_impl="mxu2fused", chan_precision="high",
                     resample_impl="matmul",
                     resample_precision="high"),
 }
@@ -91,10 +93,12 @@ class WidebandConfig:
         if self.chunk_in % self.n_chan:
             raise ValueError("chunk_in must be a multiple of n_chan")
         if self.chan_impl not in ("legacy", "mxu2", "mxu2conv",
-                                  "mxu2pallas", "stub", "nofft"):
+                                  "mxu2pallas", "mxu2fused", "stub",
+                                  "nofft"):
             raise ValueError("chan_impl must be 'legacy', 'mxu2', "
-                             "'mxu2conv', 'mxu2pallas', 'stub' or "
-                             "'nofft' (stub/nofft: knockout profiling)")
+                             "'mxu2conv', 'mxu2pallas', 'mxu2fused', "
+                             "'stub' or 'nofft' (stub/nofft: knockout "
+                             "profiling)")
 
     @property
     def iq_rate(self) -> int:
@@ -193,6 +197,26 @@ def process_traced(cfg: WidebandConfig, params: WidebandParams,
         fi = channelizer._fold_slices(g2, rows_i, nf, cfg.taps_per)
         chans = jax.lax.complex(fr.T, fi.T)
         pfb_carry = seg[..., -plan2.history:]
+    elif cfg.chan_impl == "mxu2fused":
+        # single-VMEM-pass Pallas kernel: fold + both DIF FFT stages
+        # (ops/pallas/channelize_fused.py); lane-aligned n_chan only —
+        # other sizes (e.g. the 16-chan integrity gate) fall back to the
+        # XLA mxu2 path at the matching precision tier
+        from supersdr_tpu.ops.pallas import channelize_fused
+        fac = channelizer._pick_factors(cfg.n_chan)
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if fac is not None and fac[1] % 128 == 0:
+            pfb_carry, chans = channelize_fused.channelize_fused_c(
+                plan, params.W_pfb, cx.to_complex(state.pfb_carry),
+                cx.to_complex(iq),
+                bf16_mxu=(cfg.chan_precision == "default"),
+                interpret=not on_tpu)
+        else:
+            pfb_carry, chans = channelizer.channelize_mxu2_c(
+                plan, params.W_pfb, cx.to_complex(state.pfb_carry),
+                cx.to_complex(iq), fold_impl="slices",
+                precision=cx.resolve_precision(cfg.chan_precision),
+                fold_dtype=jnp.float32)
     elif cfg.chan_impl in ("mxu2", "mxu2conv", "mxu2pallas"):
         fold_impl = {"mxu2": "slices", "mxu2conv": "conv",
                      "mxu2pallas": "pallas"}[cfg.chan_impl]
@@ -242,7 +266,7 @@ def process_many_traced(cfg: WidebandConfig, params: WidebandParams,
         st2, out = process_traced(cfg, params, st, chunk)
         return st2, out.audio
 
-    if cfg.chan_impl == "mxu2pallas":
+    if cfg.chan_impl in ("mxu2pallas", "mxu2fused"):
         # Pallas kernels inside a lax.scan body fail on this runtime
         # (UNIMPLEMENTED at execution; isolated round 3 — top-level
         # pallas_call compiles and runs fine). Unroll the chunk loop in

@@ -44,3 +44,56 @@ def test_pfb_fold_streaming_carry(rng):
                                        interpret=True)
     got = np.concatenate([np.asarray(p1), np.asarray(p2)], axis=-1)
     np.testing.assert_allclose(got, np.asarray(full), atol=1e-4)
+
+
+def test_fused_channelizer_matches_legacy(rng):
+    """The fully-fused Pallas channelizer (fold + both DIF FFT stages in
+    one VMEM pass) matches channelize_c in interpret mode, including the
+    streaming carry and the bf16 stage-B tier's tolerance."""
+    import jax
+    import jax.numpy as jnp
+    from supersdr_tpu.ops import channelizer as ch
+    from supersdr_tpu.ops.pallas import channelize_fused as cf
+
+    M, K, nf = 2560, 8, 256
+    plan, proto = ch.design(M, K)
+    W = ch.taps_matrix(plan, proto)
+    carry = jnp.zeros(plan.history, jnp.complex64)
+    x = jnp.asarray((rng.normal(size=M * nf)
+                     + 1j * rng.normal(size=M * nf)).astype(np.complex64))
+    _, ref = ch.channelize_c(plan, W, carry, x)
+    for bf16, tol in [(False, 1e-5), (True, 3e-3)]:
+        _, got = jax.jit(lambda c, xx, b=bf16: cf.channelize_fused_c(
+            plan, W, c, xx, bf16_mxu=b, interpret=True, tile_t=64))(carry, x)
+        err = float(np.linalg.norm(np.asarray(got) - np.asarray(ref))
+                    / np.linalg.norm(np.asarray(ref)))
+        assert err < tol, (bf16, err)
+    # streaming continuity
+    f = jax.jit(lambda c, xx: cf.channelize_fused_c(
+        plan, W, c, xx, bf16_mxu=False, interpret=True, tile_t=64))
+    ca, ya = f(carry, x[: M * (nf // 2)])
+    _, yb = f(ca, x[M * (nf // 2):])
+    y2 = np.concatenate([np.asarray(ya), np.asarray(yb)], axis=-1)
+    assert np.abs(y2 - np.asarray(ref)).max() < 1e-5
+
+
+def test_fused_channelizer_small_nchan_fallback(rng):
+    """n_chan without a lane-multiple factor routes through the XLA mxu2
+    fallback inside the wideband pipeline (the SMALL integrity gate's
+    path) — same audio as the plain config."""
+    from supersdr_tpu.runtime import wideband
+
+    base = dict(fs_in=192_000, n_chan=16, chunk_in=16_384, mode="AM",
+                taps_per=8, n_taps=129, audio_rate=48_000)
+    iq = ((rng.normal(size=(1, 16_384))
+           + 1j * rng.normal(size=(1, 16_384))) * 0.05
+          ).astype(np.complex64)
+    outs = {}
+    for impl in ("legacy", "mxu2fused"):
+        cfg = wideband.WidebandConfig(**base, chan_impl=impl)
+        p = wideband.make_params(cfg)
+        _, audio = wideband.process_many(cfg, p, wideband.init_state(cfg),
+                                         iq)
+        outs[impl] = np.asarray(audio)
+    err = np.abs(outs["mxu2fused"] - outs["legacy"]).max()
+    assert err < 1e-4 * np.abs(outs["legacy"]).max()
