@@ -124,6 +124,22 @@ VARIANTS = [
     {"passband_impl": "matmul", "passband_precision": "high",
      "chan_impl": "mxu2fused", "chan_precision": "high",
      "resample_impl": "matmul", "resample_precision": "high"},     # 21
+    # fused chain tail (demod+DC+AGC+resample in one Mosaic kernel)
+    {"passband_impl": "matmul", "passband_precision": "default",
+     "chan_impl": "mxu2fused", "chan_precision": "default",
+     "resample_impl": "matmul", "resample_precision": "high",
+     "tail_impl": "pallas"},                                       # 22
+    {"passband_impl": "matmul", "passband_precision": "high",
+     "chan_impl": "mxu2fused", "chan_precision": "high",
+     "resample_impl": "matmul", "resample_precision": "high",
+     "tail_impl": "pallas"},                                       # 23
+    # quality candidate: full-precision Pallas fold + XLA HIGH FFT
+    # stages + fused tail (the fused channelizer's in-kernel stage B
+    # cannot reach f32 at speed — Mosaic has no multi-pass dot)
+    {"passband_impl": "matmul", "passband_precision": "high",
+     "chan_impl": "mxu2pallas", "chan_precision": "high",
+     "resample_impl": "matmul", "resample_precision": "high",
+     "tail_impl": "pallas"},                                       # 24
 ]
 
 

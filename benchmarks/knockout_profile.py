@@ -26,8 +26,8 @@ BASE = dict(fs_in=30_720_000, n_chan=2560,
             chunk_in=2560 * (16384 - 256), mode="AM",
             taps_per=8, n_taps=257, audio_rate=48_000,
             passband_impl="matmul", passband_precision="default",
-            chan_impl="mxu2", chan_precision="default",
-            chan_fold_dtype="f16", resample_impl="matmul",
+            chan_impl="mxu2fused", chan_precision="default",
+            resample_impl="matmul",
             resample_precision="high")
 N_SCAN = 2
 MIN_S = 2.0
@@ -40,6 +40,7 @@ VARIANTS = [
     ("iq_mode(no demod/agc)", {"mode": "IQ"}),
     ("agc_decim8", {"agc_decimation": 8}),
     ("taps_per4(PFB half fold)", {"taps_per": 4}),
+    ("xla_mxu2_chan", {"chan_impl": "mxu2", "chan_fold_dtype": "f16"}),
     ("quality_profile", {"passband_precision": "high",
                          "chan_precision": "high"}),
     ("no_channelizer(stub)", {"chan_impl": "stub"}),

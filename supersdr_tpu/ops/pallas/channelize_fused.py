@@ -88,16 +88,33 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, re_ref, im_ref,
     y2i = y_i[:]
     c2r = c2r_ref[:]
     c2i = c2i_ref[:]
-    if bf16_mxu:
-        y2r = y2r.astype(jnp.bfloat16)
-        y2i = y2i.astype(jnp.bfloat16)
-        c2r = c2r.astype(jnp.bfloat16)
-        c2i = c2i.astype(jnp.bfloat16)
     dot = partial(jax.lax.dot_general,
                   dimension_numbers=(((1,), (0,)), ((), ())),
                   preferred_element_type=jnp.float32)
-    xr2 = dot(y2r, c2r) - dot(y2i, c2i)                    # [n1·T, n2]
-    xi2 = dot(y2r, c2i) + dot(y2i, c2r)
+    if bf16_mxu:
+        y2r = y2r.astype(jnp.bfloat16)
+        y2i = y2i.astype(jnp.bfloat16)
+        c2rb = c2r.astype(jnp.bfloat16)
+        c2ib = c2i.astype(jnp.bfloat16)
+        xr2 = dot(y2r, c2rb) - dot(y2i, c2ib)              # [n1·T, n2]
+        xi2 = dot(y2r, c2ib) + dot(y2i, c2rb)
+    else:
+        # ~f32 product: manual split-bf16 ×3 (hi·hi + hi·lo + lo·hi).
+        # Inside Mosaic the MXU rounds f32 operands to bf16 regardless
+        # of dtype (precision attrs do not lower), and — unlike XLA —
+        # nothing folds the convert round-trip away, so the split works
+        def split(v):
+            hi = v.astype(jnp.bfloat16)
+            lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        def dot3(a, b):
+            ah, al = split(a)
+            bh, bl = split(b)
+            return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
+
+        xr2 = dot3(y2r, c2r) - dot3(y2i, c2i)              # [n1·T, n2]
+        xi2 = dot3(y2r, c2i) + dot3(y2i, c2r)
     # reshape splits only the SUBLANE dim (n1·T → n1, T): Mosaic-legal
     out_r[:] = xr2.reshape(n1, T, n2)
     out_i[:] = xi2.reshape(n1, T, n2)

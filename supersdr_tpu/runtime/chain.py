@@ -82,6 +82,16 @@ class ChainConfig:
                                 # identical outputs, A/B'd on-chip
     resample_precision: str = "highest"  # matmul resampler precision
                                 # (same ladder as passband_precision)
+    tail_impl: str = "xla"      # "pallas": fuse demod+DC+AGC+resample
+                                # into one Mosaic kernel
+                                # (ops/pallas/chain_tail.py). Static
+                                # requirements — AM, integer upsample,
+                                # no hang/blanker, 1-D batch divisible
+                                # by 128, a chunk tile ≤ 1008 — fall
+                                # back to the XLA path otherwise. The
+                                # squelch gate applies at the audio
+                                # rate (identical when disabled — the
+                                # default; same time-constant when on)
 
     def __post_init__(self):
         if self.chunk % self.os_block:
@@ -286,6 +296,87 @@ def init_state(cfg: ChainConfig, batch_shape: tuple[int, ...] = ()
     )
 
 
+def _tail_tile(chunk: int) -> int:
+    """Largest chunk divisor ≤ 1008 that is a multiple of 8 (Mosaic
+    miscompiles the fused tail above ~1008 sublanes)."""
+    best = 0
+    for t in range(8, 1009, 8):
+        if chunk % t == 0:
+            best = t
+    return best
+
+
+def _pallas_tail_ok(cfg: ChainConfig, batch: tuple) -> bool:
+    return (cfg.mode.upper() == "AM" and not cfg.is_rational
+            and not cfg.hang_enabled and cfg.agc_decimation == 1
+            and len(batch) == 1 and batch[0] % 128 == 0
+            and _tail_tile(cfg.chunk) >= 8)
+
+
+def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
+                         state: ChainState, phase, y, y_rows, rssi,
+                         os_carry) -> tuple["ChainState", "ChainOutput"]:
+    """Fused back half: ops/pallas/chain_tail.py. State packing mirrors
+    the XLA ops exactly, so chunks chain bit-compatibly across impl
+    switches (same ChainState pytree)."""
+    from supersdr_tpu.ops.pallas import chain_tail
+    import numpy as _np
+
+    C = y.shape[0]
+    G = C // 128
+    PER = cfg.interp_plan.per
+    rows = 4 + (PER - 1)
+    ag = params.agc
+    params_vec = jnp.stack([
+        jnp.asarray(0.999, jnp.float32),             # demod_am dc_r
+        jnp.asarray(ag.decay_per_sample_db, jnp.float32),
+        jnp.asarray(ag.thresh_db, jnp.float32),
+        jnp.asarray(ag.slope_db, jnp.float32),
+        jnp.asarray(ag.target_db, jnp.float32),
+        jnp.asarray(ag.man_gain_db, jnp.float32),
+        jnp.asarray(ag.on, jnp.float32),
+        jnp.asarray(ag.attack_coeff, jnp.float32),
+    ])
+    _, P = resample.plan_interp(
+        cfg.upsample, firdesign.lowpass_taps(cfg.iq_rate / 2,
+                                             cfg.audio_rate))
+    st_rows = jnp.concatenate([
+        state.demod.dc_x.reshape(G, 1, 128),
+        state.demod.dc_y.reshape(G, 1, 128),
+        state.agc.peak_db.reshape(G, 1, 128),
+        state.agc.gain_db.reshape(G, 1, 128),
+        jnp.swapaxes(state.interp_carry.reshape(G, 128, PER - 1), 1, 2),
+    ], axis=1)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    audioT, st2 = chain_tail.chain_tail_am(
+        jnp.real(y).T, jnp.imag(y).T, st_rows, params_vec,
+        _np.asarray(P), tile_t=_tail_tile(cfg.chunk),
+        interpret=interpret)
+    audio = audioT.T                                  # [C, chunk·L]
+
+    # squelch gate at the audio rate: identical when disabled (the
+    # default); when enabled the ramp is rescaled so its duration in
+    # seconds matches the serial 12 kHz gate
+    sq = params.squelch._replace(ramp=params.squelch.ramp
+                                 / float(cfg.upsample))
+    sq_state, audio = squelch_ops.apply_squelch(
+        sq, state.squelch, audio, jnp.mean(rssi, axis=-1))
+
+    dstate = demod_ops.DemodState(
+        last_sample=state.demod.last_sample,
+        dc_x=st2[:, 0, :].reshape(C),
+        dc_y=st2[:, 1, :].reshape(C))
+    astate = agc_ops.AGCState(peak_db=st2[:, 2, :].reshape(C),
+                              gain_db=st2[:, 3, :].reshape(C))
+    icarry = jnp.swapaxes(st2[:, 4:4 + PER - 1, :], 1, 2).reshape(
+        C, PER - 1)
+    new_state = ChainState(phase=phase, os_carry=os_carry, demod=dstate,
+                           agc=astate, interp_carry=icarry,
+                           squelch=sq_state)
+    return new_state, ChainOutput(audio=audio, rssi=rssi,
+                                  baseband=cx.split(y))
+
+
 def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
                    iq: cx.CX) -> tuple[ChainState, ChainOutput]:
     """Chain body for traced contexts (inside jit/scan/shard_map).
@@ -385,6 +476,13 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
     # 3. per-row RSSI from the passband signal (the reference receives one
     #    RSSI per 512-sample SND frame; here one per overlap-save row)
     rssi = smeter.rssi_db(y_rows)
+
+    # 4-6 fused (tail_impl="pallas"): demod+DC+AGC+resample as one
+    # Mosaic kernel in time-major tiles (ops/pallas/chain_tail.py);
+    # squelch gates the audio-rate output (identical when disabled)
+    if cfg.tail_impl == "pallas" and _pallas_tail_ok(cfg, batch):
+        return _process_tail_pallas(cfg, params, state, phase, y, y_rows,
+                                    rssi, os_carry)
 
     # 4. demodulate (MULTI: per-slot runtime select — mode changes on a
     #    batched multi-receiver program never retrace)

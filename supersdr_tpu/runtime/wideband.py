@@ -25,21 +25,26 @@ from supersdr_tpu.runtime import chain
 # On-chip A/B-winning kernel tuning (benchmarks/ab_full.py, measured
 # ladder in docs/PERFORMANCE.md). Both profiles use the fully-fused
 # Pallas channelizer (fold + both DIF FFT stages in one VMEM pass,
-# ops/pallas/channelize_fused.py): "fast" = 1.39 Gsps/chip at ~55 dB
-# oracle audio SNR (bf16 matmuls), "quality" = 1.17 Gsps at ~83 dB
-# (3-pass matmuls, f32 in-kernel fold/stage-A). The fused kernel needs
-# a working Mosaic toolchain and a lane-multiple n_chan factor; other
-# sizes fall back to the XLA mxu2 path automatically (wideband
-# process_traced).
+# ops/pallas/channelize_fused.py for "fast") AND the fused chain tail
+# (demod+DC+AGC+resample, ops/pallas/chain_tail.py, both profiles):
+# "fast" = 1.81 Gsps/chip at ~54 dB oracle audio SNR (bf16 matmuls);
+# "quality" = 1.14 Gsps at ~83 dB — it pairs the full-precision Pallas
+# FOLD with the XLA 3-pass DIF FFT, because Mosaic has no multi-pass
+# dot and the fused kernel's in-kernel stage B is bf16-bound (the MID
+# integrity gate caught exactly this: a "quality" fused-channelizer
+# variant read 82.9 dB on the 16-chan gate, which takes the XLA
+# fallback, but only 56.5 dB at the headline's 2560 channels). The
+# kernels need a working Mosaic toolchain and lane-multiple n_chan;
+# other shapes fall back to the XLA paths automatically.
 PROFILES = {
     "fast": dict(passband_impl="matmul", passband_precision="default",
                  chan_impl="mxu2fused", chan_precision="default",
                  resample_impl="matmul",
-                 resample_precision="high"),
+                 resample_precision="high", tail_impl="pallas"),
     "quality": dict(passband_impl="matmul", passband_precision="high",
-                    chan_impl="mxu2fused", chan_precision="high",
+                    chan_impl="mxu2pallas", chan_precision="high",
                     resample_impl="matmul",
-                    resample_precision="high"),
+                    resample_precision="high", tail_impl="pallas"),
 }
 
 
@@ -80,6 +85,8 @@ class WidebandConfig:
                                         # "default" (1-pass bf16,
                                         # ~55 dB end-to-end); gate on
                                         # the oracle SNR
+    tail_impl: str = "xla"              # "pallas": fused demod+AGC+
+                                        # resample tail (see ChainConfig)
     chan_fft_form: str = "dif"          # "dif" (twiddle folded into a
                                         # j2-batched stage-A dot) or
                                         # "dit" (no batched dot dims,
@@ -123,7 +130,8 @@ class WidebandConfig:
                                  passband_impl=self.passband_impl,
                                  passband_precision=self.passband_precision,
                                  resample_impl=self.resample_impl,
-                                 resample_precision=self.resample_precision)
+                                 resample_precision=self.resample_precision,
+                                 tail_impl=self.tail_impl)
 
 
 class WidebandParams(NamedTuple):
@@ -266,7 +274,8 @@ def process_many_traced(cfg: WidebandConfig, params: WidebandParams,
         st2, out = process_traced(cfg, params, st, chunk)
         return st2, out.audio
 
-    if cfg.chan_impl in ("mxu2pallas", "mxu2fused"):
+    if cfg.chan_impl in ("mxu2pallas", "mxu2fused") \
+            or cfg.tail_impl == "pallas":
         # Pallas kernels inside a lax.scan body fail on this runtime
         # (UNIMPLEMENTED at execution; isolated round 3 — top-level
         # pallas_call compiles and runs fine). Unroll the chunk loop in
@@ -277,6 +286,8 @@ def process_many_traced(cfg: WidebandConfig, params: WidebandParams,
         for i in range(iq_chunks.shape[0]):
             st, audio = body(st, iq_chunks[i])
             outs.append(audio)
+        if isinstance(outs[0], cx.CX):
+            return st, cx.stack(outs, 0)    # IQ mode: split-complex audio
         return st, jnp.stack(outs, 0)
     return jax.lax.scan(body, state, iq_chunks)
 

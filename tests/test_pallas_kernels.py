@@ -97,3 +97,48 @@ def test_fused_channelizer_small_nchan_fallback(rng):
         outs[impl] = np.asarray(audio)
     err = np.abs(outs["mxu2fused"] - outs["legacy"]).max()
     assert err < 1e-4 * np.abs(outs["legacy"]).max()
+
+
+def test_fused_chain_tail_matches_xla(rng):
+    """tail_impl='pallas' (fused demod+DC+AGC+resample, interpret mode)
+    equals the XLA chain tail through the full wideband pipeline,
+    including chunk-chained streaming state."""
+    from supersdr_tpu.runtime import wideband
+
+    base = dict(fs_in=128 * 12000, n_chan=128, chunk_in=128 * 1008,
+                mode="AM", taps_per=8, n_taps=257, audio_rate=48_000,
+                passband_impl="matmul", passband_precision="highest")
+    iq = ((rng.normal(size=(2, base["chunk_in"]))
+           + 1j * rng.normal(size=(2, base["chunk_in"]))) * 0.05
+          ).astype(np.complex64)
+    outs = {}
+    for tail in ("xla", "pallas"):
+        cfg = wideband.WidebandConfig(**base, tail_impl=tail)
+        p = wideband.make_params(cfg)
+        _, audio = wideband.process_many(cfg, p, wideband.init_state(cfg),
+                                         iq)
+        outs[tail] = np.asarray(audio)
+    err = np.abs(outs["pallas"] - outs["xla"]).max()
+    assert err < 1e-3 * np.abs(outs["xla"]).max()
+
+
+def test_fused_chain_tail_fallback_conditions(rng):
+    """Static conditions the fused tail cannot serve (non-AM mode,
+    non-lane batch) silently fall back to the XLA path — identical
+    output to tail_impl='xla'."""
+    from supersdr_tpu.runtime import wideband
+
+    # 16 channels (not a lane multiple) → fallback inside the chain
+    base = dict(fs_in=192_000, n_chan=16, chunk_in=32_768, mode="AM",
+                taps_per=8, n_taps=257, audio_rate=48_000)
+    iq = ((rng.normal(size=(1, base["chunk_in"]))
+           + 1j * rng.normal(size=(1, base["chunk_in"]))) * 0.05
+          ).astype(np.complex64)
+    outs = {}
+    for tail in ("xla", "pallas"):
+        cfg = wideband.WidebandConfig(**base, tail_impl=tail)
+        p = wideband.make_params(cfg)
+        _, audio = wideband.process_many(cfg, p, wideband.init_state(cfg),
+                                         iq)
+        outs[tail] = np.asarray(audio)
+    assert np.array_equal(outs["pallas"], outs["xla"])
