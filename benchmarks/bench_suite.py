@@ -96,7 +96,8 @@ def bench_chain_only():
                             passband_impl="matmul",
                             passband_precision="default",
                             resample_impl="matmul",
-                            resample_precision="high")
+                            resample_precision="high",
+                            tail_impl="pallas")
     params = chain.make_params(cfg, freq_offset_hz=np.zeros(n_rx))
     state = chain.init_state(cfg, (n_rx,))
 

@@ -28,7 +28,7 @@ BASE = dict(fs_in=30_720_000, n_chan=2560,
             passband_impl="matmul", passband_precision="default",
             chan_impl="mxu2fused", chan_precision="default",
             resample_impl="matmul",
-            resample_precision="high")
+            resample_precision="high", tail_impl="pallas")
 N_SCAN = 2
 MIN_S = 2.0
 
@@ -41,7 +41,9 @@ VARIANTS = [
     ("agc_decim8", {"agc_decimation": 8}),
     ("taps_per4(PFB half fold)", {"taps_per": 4}),
     ("xla_mxu2_chan", {"chan_impl": "mxu2", "chan_fold_dtype": "f16"}),
+    ("xla_tail", {"tail_impl": "xla"}),
     ("quality_profile", {"passband_precision": "high",
+                         "chan_impl": "mxu2pallas",
                          "chan_precision": "high"}),
     ("no_channelizer(stub)", {"chan_impl": "stub"}),
     ("stub+iq", {"chan_impl": "stub", "mode": "IQ"}),

@@ -38,8 +38,6 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from supersdr_tpu.ops import agc as agc_ops
-
 ENV_FLOOR = 1e-9
 _LOG10_E20 = 8.685889638065035      # 20/ln(10)
 _LN10_D20 = 0.11512925464970229     # ln(10)/20
