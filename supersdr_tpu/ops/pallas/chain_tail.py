@@ -82,7 +82,7 @@ def _n_pows(T):
 
 def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
             audio_ref, st_out_ref, carry, *, T: int, C: int, n_t: int,
-            L: int, PER: int, taps: tuple):
+            L: int, PER: int, taps: tuple, ssb: bool):
     """Grid (c_group, t): par_ref [8,1] SMEM scalars
     (r_dc, decay_d, thresh, slope, target, man_gain, agc_on, attack);
     ramp_ref [T, 1] iota ramp; p_ref [8·?, L...] resample taps
@@ -107,24 +107,29 @@ def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
 
     yr = yr_ref[:]
     yi = yi_ref[:]
-    env = jnp.sqrt(yr * yr + yi * yi)
-
-    # ---- DC block: y[n] = (env[n] − env[n−1]) + r·y[n−1]
-    prev_env = jnp.concatenate([carry[0:1, :], env[:T - 1, :]], axis=0)
-    diff = env - prev_env
-    # doubling scan needs scalar a^(2^s): computed by repeated squaring
     n_pows = _n_pows(T)
-    a = r_dc
-    pows = []
-    for _i in range(n_pows):
-        pows.append(a)
-        a = a * a
-    audio0 = _doubling_linear(diff, pows, T)
-    # initial condition: + r^(n+1) · y0
-    rn1 = jnp.exp(jnp.log(jnp.maximum(r_dc, 1e-12)) * (ramp_ref[:] + 1.0))
-    audio0 = audio0 + rn1 * carry[1:2, :]
-    carry[0:1, :] = env[T - 1: T, :]
-    carry[1:2, :] = audio0[T - 1: T, :]
+    if ssb:
+        # USB/LSB/CW: the one-sided passband makes y analytic — audio is
+        # the real part; no envelope, no DC block (demod_ssb semantics)
+        audio0 = yr
+    else:
+        env = jnp.sqrt(yr * yr + yi * yi)
+        # ---- DC block: y[n] = (env[n] − env[n−1]) + r·y[n−1]
+        prev_env = jnp.concatenate([carry[0:1, :], env[:T - 1, :]], axis=0)
+        diff = env - prev_env
+        # doubling scan needs scalar a^(2^s): repeated squaring
+        a = r_dc
+        pows = []
+        for _i in range(n_pows):
+            pows.append(a)
+            a = a * a
+        audio0 = _doubling_linear(diff, pows, T)
+        # initial condition: + r^(n+1) · y0
+        rn1 = jnp.exp(jnp.log(jnp.maximum(r_dc, 1e-12))
+                      * (ramp_ref[:] + 1.0))
+        audio0 = audio0 + rn1 * carry[1:2, :]
+        carry[0:1, :] = env[T - 1: T, :]
+        carry[1:2, :] = audio0[T - 1: T, :]
 
     # ---- AGC peak tracker: p[n] = max(p[n−1] − d, env_db[n])
     env_db = _LOG10_E20 * jnp.log(jnp.maximum(jnp.abs(audio0), ENV_FLOOR))
@@ -176,7 +181,7 @@ def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
 def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                   params_vec: jax.Array, P: jax.Array, *,
                   tile_t: int = 1024, lane_c: int = 128, L: int = 4,
-                  interpret: bool = False
+                  ssb: bool = False, interpret: bool = False
                   ) -> tuple[jax.Array, jax.Array]:
     """Run the fused AM tail.
 
@@ -213,7 +218,7 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
 
     audio, st_out = pl.pallas_call(
         partial(_kernel, T=tile_t, C=lane_c, n_t=n_t, L=L, PER=PER,
-                taps=taps),
+                taps=taps, ssb=ssb),
         out_shape=(
             jax.ShapeDtypeStruct((chunk * L, M), jnp.float32),
             jax.ShapeDtypeStruct((n_groups * rows, lane_c), jnp.float32),

@@ -49,7 +49,11 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
     if cfg.n_chan % d or cfg.chunk_in % (d * cfg.n_chan):
         raise ValueError("n_devices must divide n_chan and chunk_in/n_chan")
     plan = wb.pfb_plan(cfg)
-    ccfg = cfg.chain_cfg
+    # Pallas kernels don't run under shard_map on this runtime: the mesh
+    # chains use the XLA tail (the channelizer likewise maps to its XLA
+    # mxu2 equivalent below)
+    import dataclasses as _dc
+    ccfg = _dc.replace(cfg.chain_cfg, tail_impl="xla")
 
     def body(params: wb.WidebandParams, state: wb.WidebandState,
              iq: cx.CX):
@@ -58,8 +62,10 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
         idx = jax.lax.axis_index(AXIS)
         halo = scans.left_context(iqc, plan.history, AXIS)
         head = jnp.where(idx == 0, cx.to_complex(state.pfb_carry), halo)
-        if cfg.chan_impl in ("mxu2", "mxu2conv"):
-            # the mesh honors the serial pipeline's channelizer tuning
+        if cfg.chan_impl in ("mxu2", "mxu2conv", "mxu2fused",
+                             "mxu2pallas"):
+            # the mesh honors the serial pipeline's channelizer tuning,
+            # with Pallas impls mapped to their XLA mxu2 equivalent
             # (lane-layout DIF + optional f16 fold, ops/channelizer.py)
             _, chans = channelizer.channelize_mxu2_c(
                 plan, params.W_pfb, head, iqc,

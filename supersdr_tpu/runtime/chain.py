@@ -71,10 +71,9 @@ class ChainConfig:
                                 # (ops/fir_matmul.py; A/B'd on-chip in
                                 # docs/PERFORMANCE.md)
     passband_precision: str = "highest"  # matmul impl only: "highest"
-                                # (6-pass bf16, ~f32-exact), "high",
-                                # "default" (1-pass bf16), or "bf16x3"
-                                # (manual 3-pass split, ≈f32 accuracy —
-                                # ops/cx.make_dot); gate on oracle SNR
+                                # (6-pass bf16, ~f32-exact), "high"
+                                # (3-pass, ~98 dB) or "default"
+                                # (1-pass bf16); gate on oracle SNR
     resample_impl: str = "einsum"  # "einsum" (stacked frames → MXU),
                                 # "fma" (broadcast FMA chain), or "matmul"
                                 # (blocked-Toeplitz interleaving matmul —
@@ -85,8 +84,8 @@ class ChainConfig:
     tail_impl: str = "xla"      # "pallas": fuse demod+DC+AGC+resample
                                 # into one Mosaic kernel
                                 # (ops/pallas/chain_tail.py). Static
-                                # requirements — AM, integer upsample,
-                                # no hang/blanker, 1-D batch divisible
+                                # requirements — AM/USB/LSB/CW, integer
+                                # upsample, no hang, 1-D batch divisible
                                 # by 128, a chunk tile ≤ 1008 — fall
                                 # back to the XLA path otherwise. The
                                 # squelch gate applies at the audio
@@ -307,7 +306,8 @@ def _tail_tile(chunk: int) -> int:
 
 
 def _pallas_tail_ok(cfg: ChainConfig, batch: tuple) -> bool:
-    return (cfg.mode.upper() == "AM" and not cfg.is_rational
+    return (cfg.mode.upper() in ("AM", "USB", "LSB", "CW")
+            and not cfg.is_rational
             and not cfg.hang_enabled and cfg.agc_decimation == 1
             and len(batch) == 1 and batch[0] % 128 == 0
             and _tail_tile(cfg.chunk) >= 8)
@@ -351,6 +351,7 @@ def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
     audioT, st2 = chain_tail.chain_tail_am(
         jnp.real(y).T, jnp.imag(y).T, st_rows, params_vec,
         _np.asarray(P), tile_t=_tail_tile(cfg.chunk),
+        ssb=cfg.mode.upper() in ("USB", "LSB", "CW"),
         interpret=interpret)
     audio = audioT.T                                  # [C, chunk·L]
 
