@@ -1,9 +1,9 @@
 """On-chip A/B: passband fft vs matmul, PFB slice-fold vs Pallas fold.
 
-Times the bench.py HEADLINE config for each variant with the round-2
-methodology (split-complex boundaries, fetch-forced timing, small-config
-integrity gate vs a CPU-backend oracle). Prints one JSON line per
-variant; the winner becomes the default recorded in docs/PERFORMANCE.md.
+ROUND-2 HARNESS, superseded by `benchmarks/ab_full.py` (which generates
+its timed inputs on device — this one ships 660 MB through the ~1 MB/s
+tunnel and takes ~12 minutes to start). Kept for the historical variant
+matrix recorded in docs/PERFORMANCE.md.
 """
 
 import json

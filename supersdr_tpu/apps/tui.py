@@ -48,7 +48,9 @@ HELP_LINES = [
     "  E          record audio    i EIBI overlay  d DX cluster  s CAT sync",
     "  1/2        AGC threshold -/+   !/@ AGC decay -/+   3 WF autoscale",
     "  0/9        log QSO / search log (callsign entry)   4 spectrum fill",
-    "  mouse      left-click span to tune, wheel to zoom",
+    "  K          server book (digit connects, auto-revert on failure)",
+    "  mouse      click/drag waterfall to tune, wheel zoom,",
+    "             drag spectrum row to pan span, SHIFT-drag passband edge",
     "  ?          toggle this help          q quit",
 ]
 
