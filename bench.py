@@ -77,7 +77,11 @@ MID = dict(fs_in=30_720_000, n_chan=2560, chunk_in=2560 * 512, mode="AM",
 HEADLINE = dict(fs_in=30_720_000, n_chan=2560,
                 chunk_in=2560 * (16384 - 256), mode="AM",
                 taps_per=8, n_taps=257, audio_rate=48_000)
-N_SCAN = int(os.environ.get("BENCH_N_SCAN", "2"))
+# N_SCAN=2 was the round-2 winner (dispatch amortization dominated the
+# 112 ms steps); with the fused kernels the step is ~40 ms and the extra
+# in-flight audio buffers cost more than the amortization buys — A/B'd
+# again in round 3: N_SCAN=1 → 2084 Msps vs 1818 at N_SCAN=2
+N_SCAN = int(os.environ.get("BENCH_N_SCAN", "1"))
 MIN_MEASURE_S = 2.0
 
 _ORACLE_SRC = """
