@@ -29,7 +29,7 @@ BASE = dict(fs_in=30_720_000, n_chan=2560,
             chan_impl="mxu2fused", chan_precision="default",
             resample_impl="matmul",
             resample_precision="high", tail_impl="pallas")
-N_SCAN = 2
+N_SCAN = 1
 MIN_S = 2.0
 
 # (name, config overrides) — each trivializes one stage

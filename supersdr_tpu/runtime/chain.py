@@ -350,7 +350,7 @@ def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
     interpret = jax.default_backend() not in ("tpu", "axon")
     audioT, st2 = chain_tail.chain_tail_am(
         jnp.real(y).T, jnp.imag(y).T, st_rows, params_vec,
-        _np.asarray(P), tile_t=_tail_tile(cfg.chunk),
+        _np.asarray(P), tile_t=_tail_tile(cfg.chunk), L=cfg.upsample,
         ssb=cfg.mode.upper() in ("USB", "LSB", "CW"),
         interpret=interpret)
     audio = audioT.T                                  # [C, chunk·L]

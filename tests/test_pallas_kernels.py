@@ -142,3 +142,27 @@ def test_fused_chain_tail_fallback_conditions(rng):
                                          iq)
         outs[tail] = np.asarray(audio)
     assert np.array_equal(outs["pallas"], outs["xla"])
+
+
+def test_fused_chain_tail_upsample_sweep(rng):
+    """The fused tail honors the config's actual upsample factor
+    (regression: the chain once left L at its default of 4, indexing
+    out of the L=1 tap table)."""
+    from supersdr_tpu.runtime import wideband
+
+    iq = ((rng.normal(size=(1, 128 * 1008))
+           + 1j * rng.normal(size=(1, 128 * 1008))) * 0.05
+          ).astype(np.complex64)
+    for audio_rate in (12_000, 24_000):
+        base = dict(fs_in=128 * 12000, n_chan=128, chunk_in=128 * 1008,
+                    mode="AM", taps_per=8, n_taps=257,
+                    audio_rate=audio_rate, passband_impl="matmul")
+        outs = {}
+        for tail in ("xla", "pallas"):
+            cfg = wideband.WidebandConfig(**base, tail_impl=tail)
+            p = wideband.make_params(cfg)
+            _, audio = wideband.process_many(cfg, p,
+                                             wideband.init_state(cfg), iq)
+            outs[tail] = np.asarray(audio)
+        err = np.abs(outs["pallas"] - outs["xla"]).max()
+        assert err < 1e-3 * np.abs(outs["xla"]).max(), audio_rate
