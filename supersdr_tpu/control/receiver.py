@@ -187,11 +187,14 @@ class Receiver:
         """Rebuild the chain parameter pytree (host-side design; the device
         program is untouched — except an NB toggle, which retraces like a
         mode change since the blanker is compiled in statically)."""
-        if self.nb_on != self.cfg.blanker_enabled:
+        if self.nb_on != self.cfg.blanker_enabled or \
+                self.squelch_on != self.cfg.squelch_enabled:
             import dataclasses
-            # state shapes are blanker-independent; the stream continues
+            # state shapes are blanker/squelch-independent; the stream
+            # continues (a toggle retraces, like a mode change)
             self.cfg = dataclasses.replace(self.cfg,
-                                           blanker_enabled=self.nb_on)
+                                           blanker_enabled=self.nb_on,
+                                           squelch_enabled=self.squelch_on)
         self.params = chain.make_params(
             self.cfg, freq_offset_hz=self.freq_offset_hz,
             low_cut=self.lc, high_cut=self.hc,

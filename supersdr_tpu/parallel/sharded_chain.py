@@ -97,9 +97,12 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
 
     # squelch gates on the local shard's RSSI (frame-granular, as the
     # KiwiSDR gates per frame — not bit-identical to the serial
-    # whole-chunk gate when enabled; identical when disabled)
-    sq_state, audio = squelch_ops.apply_squelch(
-        params.squelch, state.squelch, audio, jnp.mean(rssi, axis=-1))
+    # whole-chunk gate when enabled); statically compiled out when off
+    if cfg.squelch_enabled:
+        sq_state, audio = squelch_ops.apply_squelch(
+            params.squelch, state.squelch, audio, jnp.mean(rssi, axis=-1))
+    else:
+        sq_state = state.squelch
 
     # 5. resample; history halo in the audio domain
     if cfg.mode.upper() == "IQ":

@@ -63,6 +63,11 @@ class ChainConfig:
     blanker_enabled: bool = False  # static: compile the noise blanker in
                                    # (its median = a device sort; never pay
                                    # for it when NB is off)
+    squelch_enabled: bool = False  # static: compile the squelch gate in
+                                   # (its ramp/multiply passes cost real
+                                   # HBM on wideband audio; like the
+                                   # blanker, toggling retraces — the
+                                   # thresh/hyst stay runtime data)
     nco_enabled: bool = True    # static: False skips the mixer pass when
                                 # the input is already channel-centered
                                 # (PFB output — offsets structurally 0)
@@ -355,13 +360,16 @@ def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
         interpret=interpret)
     audio = audioT.T                                  # [C, chunk·L]
 
-    # squelch gate at the audio rate: identical when disabled (the
-    # default); when enabled the ramp is rescaled so its duration in
-    # seconds matches the serial 12 kHz gate
-    sq = params.squelch._replace(ramp=params.squelch.ramp
-                                 / float(cfg.upsample))
-    sq_state, audio = squelch_ops.apply_squelch(
-        sq, state.squelch, audio, jnp.mean(rssi, axis=-1))
+    # squelch gate at the audio rate (statically compiled out when off,
+    # like the serial path); when enabled the ramp is rescaled so its
+    # duration in seconds matches the serial 12 kHz gate
+    if cfg.squelch_enabled:
+        sq = params.squelch._replace(ramp=params.squelch.ramp
+                                     / float(cfg.upsample))
+        sq_state, audio = squelch_ops.apply_squelch(
+            sq, state.squelch, audio, jnp.mean(rssi, axis=-1))
+    else:
+        sq_state = state.squelch
 
     dstate = demod_ops.DemodState(
         last_sample=state.demod.last_sample,
@@ -499,9 +507,13 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
                                   hang_window=cfg.hang_window,
                                   decimation=cfg.agc_decimation)
 
-    # 5b. squelch gate on the chunk RSSI (SET squelch equivalent)
-    sq_state, audio = squelch_ops.apply_squelch(
-        params.squelch, state.squelch, audio, jnp.mean(rssi, axis=-1))
+    # 5b. squelch gate on the chunk RSSI (SET squelch equivalent);
+    # statically compiled out when off — the default, like the blanker
+    if cfg.squelch_enabled:
+        sq_state, audio = squelch_ops.apply_squelch(
+            params.squelch, state.squelch, audio, jnp.mean(rssi, axis=-1))
+    else:
+        sq_state = state.squelch
 
     # 6. resample to the audio rate (IQ mode keeps complex baseband as-is)
     if cfg.mode.upper() == "IQ":

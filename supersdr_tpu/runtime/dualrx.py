@@ -76,7 +76,10 @@ class DualChain:
             raise ValueError("batched dual-RX needs the fft passband "
                              "(per-slot responses broadcast through the "
                              "frequency-domain multiply)")
-        self.cfg = dataclasses.replace(cfg, mode="MULTI")
+        # squelch stays compiled in: per-slot enables are runtime data
+        # on the batched program (cheap at interactive chunk sizes)
+        self.cfg = dataclasses.replace(cfg, mode="MULTI",
+                                       squelch_enabled=True)
         self.state = chain.init_state(self.cfg, (2,))
         self.params = None
         self.active = np.array([1.0, 0.0], np.float32)

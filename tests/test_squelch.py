@@ -63,7 +63,7 @@ def test_chain_with_squelch_and_blanker():
     iq = (0.001 * np.exp(2j * np.pi * 1000 * t)).astype(np.complex64)  # weak
     iq[5000] += 30.0  # impulse
     cfg = chain.ChainConfig(mode="USB", chunk=8192, os_block=8192,
-                            blanker_enabled=True)
+                            blanker_enabled=True, squelch_enabled=True)
     params = chain.make_params(
         cfg, agc_kwargs=dict(on=False),
         squelch_kwargs=dict(enabled=True, thresh_db=-40.0),
