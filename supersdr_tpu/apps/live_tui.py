@@ -171,8 +171,14 @@ class LiveTui:
         threads; replaces the two dispatches flagged in VERDICT r2)."""
         from supersdr_tpu.runtime.dualrx import DualChain
         sub = self.rx_sub if self.rx_sub is not None else self.rx
-        if self._dual is None or self._dual.cfg.blanker_enabled \
-                != self.rx.cfg.blanker_enabled:
+        # rebuild on ANY structural cfg change — a server switch can land
+        # on a different iq_rate/chunk (e.g. a 20.25 kHz kiwi), and a
+        # stale DualChain would reshape-fail or resample at the old ratio
+        def _structure(cfg):
+            return (cfg.iq_rate, cfg.chunk, cfg.os_block, cfg.audio_rate,
+                    cfg.blanker_enabled)
+        if self._dual is None or _structure(self._dual.cfg) \
+                != _structure(self.rx.cfg):
             self._dual = DualChain(self.rx.cfg)
             self._dual_key = None
         key = (id(self.rx), self.rx.rev, id(sub), sub.rev,

@@ -78,10 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
     wb.add_argument("--top", type=int, default=8,
                     help="write audio for the N strongest channels")
     wb.add_argument("--profile", default=None, choices=("fast", "quality"),
-                    help="TPU kernel tuning profile (bench.py PROFILES): "
-                         "'fast' = bf16 matmuls (~55 dB oracle SNR, the "
-                         "1.2 Gsps/chip bench config), 'quality' = 3-pass "
-                         "(~76 dB). Default: full-precision reference path")
+                    help="TPU kernel tuning profile (runtime.wideband"
+                         ".PROFILES, measured in docs/PERFORMANCE.md): "
+                         "'fast' = fused Pallas kernels + bf16 matmuls "
+                         "(~55 dB oracle SNR), 'quality' = 3-pass matmuls "
+                         "(~83 dB). Overrides --passband. Default: "
+                         "full-precision reference path")
     wb.add_argument("--passband", default="fft",
                     choices=("fft", "fftmxu", "matmul"),
                     help="passband filter: overlap-save FFT or the "
@@ -211,6 +213,14 @@ def cmd_wideband(args) -> int:
     tuning = dict(passband_impl=args.passband)
     if getattr(args, "profile", None):
         from supersdr_tpu.ops import channelizer as chz
+        if args.passband != "fft":
+            # the profile defines the whole tuning dict; a silent discard
+            # of an explicit --passband measured the wrong thing (ADVICE
+            # r3) — refuse the ambiguous combination instead
+            print("--profile selects the full kernel tuning (including "
+                  "the passband implementation); drop --passband or "
+                  "drop --profile")
+            return 2
         tuning = dict(wideband.PROFILES[args.profile])
         if not chz.mxu2_supported(n_chan):
             tuning["chan_impl"] = "legacy"   # e.g. large-prime n_chan

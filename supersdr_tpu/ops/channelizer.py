@@ -386,6 +386,13 @@ def channelize_mxu2_c(plan: PFBPlan, W: jax.Array, carry: jax.Array,
         rows_r = jnp.real(seg).reshape(n_frames + K - 1, M)
         rows_i = jnp.imag(seg).reshape(n_frames + K - 1, M)
         if fold_dtype != jnp.float32 and fold_impl != "pallas":
+            if fold_impl == "conv":
+                # _fold_conv casts back to f32 (conv needs matching
+                # dtypes) — a silent ignore would make f16-vs-conv A/Bs
+                # measure the wrong thing (ADVICE r3)
+                raise ValueError("fold_impl='conv' runs in float32; "
+                                 "combine fold_dtype='f16' with the "
+                                 "'slices' or 'pallas' fold")
             rows_r = rows_r.astype(fold_dtype)
             rows_i = rows_i.astype(fold_dtype)
         fold_fn = _fold_conv if fold_impl == "conv" else _fold_slices

@@ -99,18 +99,23 @@ def demodulate_runtime(state: DemodState, y: jax.Array, fs: float,
     interactive chunks) and a where-select keeps the right one, so a
     mode change on any slot of a batched multi-receiver program (the
     dual-RX surface, reference supersdr.py:575-639) is a parameter
-    update — never a retrace. State threads all branches (unused fields
-    stay consistent: dc state freezes at its last value only if AM is
-    deselected, which is exactly the serial chain's behavior on a mode
-    change since `make_params` resets nothing either).
+    update — never a retrace. Per-branch state only advances for the
+    SELECTED branch (DC blocker when AM, last_sample when NBFM) —
+    matching the static-dispatch chain, where a deselected mode's state
+    is simply not touched.
     """
     _, ssb = demod_ssb(state, y)
     st_am, am = demod_am(state, y)
     st_fm, fm = demod_nbfm(state, y, fs, max_dev_hz)
-    sel = jnp.asarray(mode_id)[..., None]
+    sel_b = jnp.asarray(mode_id)
+    sel = sel_b[..., None]
     audio = jnp.where(sel == 1, am, jnp.where(sel == 2, fm, ssb))
-    st = DemodState(last_sample=st_fm.last_sample,
-                    dc_x=st_am.dc_x, dc_y=st_am.dc_y)
+    st = DemodState(
+        last_sample=cx.CX(
+            jnp.where(sel_b == 2, st_fm.last_sample.re, state.last_sample.re),
+            jnp.where(sel_b == 2, st_fm.last_sample.im, state.last_sample.im)),
+        dc_x=jnp.where(sel_b == 1, st_am.dc_x, state.dc_x),
+        dc_y=jnp.where(sel_b == 1, st_am.dc_y, state.dc_y))
     return st, audio
 
 

@@ -95,7 +95,9 @@ class DualChain:
                 low_cut=r.lc, high_cut=r.hc,
                 agc_kwargs=r.agc.kwargs(),
                 squelch_kwargs=dict(enabled=r.squelch_on,
-                                    thresh_db=r.squelch_thresh_db)))
+                                    thresh_db=r.squelch_thresh_db),
+                blanker_kwargs=dict(enabled=r.nb_on,
+                                    thresh_ratio=r.nb_thresh)))
             modes.append(r.radio_mode)
         self.params = _stack_params(plist, modes)
         self.active = np.asarray([1.0 if a else 0.0 for a in active],
