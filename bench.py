@@ -123,6 +123,11 @@ def _gate(base_cfg: dict, n_chunks: int, seed: int, tag: str) -> dict:
     state = wideband.init_state(cfg)
     _, audio = wideband.process_many(cfg, params, state, iq)
     got = np.asarray(audio)          # full fetch — fails loudly if aborted
+    if TUNING.get("time_major"):
+        # tuned pipeline emits audio [n_chunks, frames·L, n_chan]; the
+        # plain-path oracle emits [n_chunks, n_chan, frames·L]
+        got = np.swapaxes(got, -1, -2)
+    got = got.astype(np.float32)
 
     inp = f"/tmp/bench_oracle_in_{tag}.npz"
     outp = f"/tmp/bench_oracle_out_{tag}.npz"
@@ -222,7 +227,10 @@ def main():
     # chunk lengths: the AGC attack transient dominates them.)
     st0, audio0 = wideband.process_many(cfg, params, state, iq_dev)
     L = cfg.chain_cfg.upsample
-    prefix = float(jnp.mean(jnp.abs(audio0[0, :, : 512 * L])))
+    if TUNING.get("time_major"):
+        prefix = float(jnp.mean(jnp.abs(audio0[0, : 512 * L, :])))
+    else:
+        prefix = float(jnp.mean(jnp.abs(audio0[0, :, : 512 * L])))
     mid_level = checks["audio_mean_abs_mid"]
     if abs(prefix - mid_level) > 0.25 * mid_level:
         print(json.dumps({**fail, "integrity": "fail",

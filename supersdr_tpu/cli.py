@@ -234,7 +234,10 @@ def cmd_wideband(args) -> int:
     for i in range(0, len(z) - cfg.chunk_in + 1, cfg.chunk_in):
         state, out = wideband.process(cfg, params, state,
                                       z[i:i + cfg.chunk_in].astype(np.complex64))
-        audio_parts.append(np.asarray(out.audio))
+        a = np.asarray(out.audio, dtype=np.float32)
+        if cfg.time_major:
+            a = a.T      # [frames·L, n_chan] -> [n_chan, frames·L]
+        audio_parts.append(a)
     audio = np.concatenate(audio_parts, axis=-1)
     level = np.sqrt(np.mean(audio ** 2, axis=-1))
     order = np.argsort(level)[::-1]

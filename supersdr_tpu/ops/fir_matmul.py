@@ -176,6 +176,60 @@ def fir_matmul_stream(plan: FIRMatmulPlan, W, carry, x
     return _fir_matmul_cx(plan, W, cx.as_cx(carry), cx.as_cx(x))
 
 
+def fir_matmul_stream_tmajor_c(plan: FIRMatmulPlan, W: jax.Array,
+                               carry_T: cx.CX, xT: cx.CX, *,
+                               precision=jax.lax.Precision.HIGHEST
+                               ) -> tuple[cx.CX, cx.CX]:
+    """TIME-MAJOR streaming filter step: batch on the LANE dim.
+
+    The channel-major form (`fir_matmul_stream_c`) emits y [C, chunk]
+    and the fused chain tail consumes [chunk, C] — two full HBM
+    transpose passes on the wideband hot path. This form rides the
+    dot_general output dim order instead (the same trick as the
+    channelizer stages): per time block i,
+
+        y2_i[2B, C] = dot(W [2W, 2B], Z_i [2W, C])  contracting dim 0,
+
+    so time lands on the output's major dim and channels stay on lanes
+    end to end — zero transposes. Same W as `build_w`, same math, same
+    carry semantics (carry is the [overlap, C] time-major input tail).
+
+    carry_T: [n_taps−1, C] split-complex; xT: [chunk, C] split-complex
+    with chunk % block == 0 (callers pad — the wideband chunk grid
+    already satisfies this). Returns (new_carry_T, yT [chunk, C]).
+    """
+    B = plan.block
+    chunk, C = xT.shape
+    if chunk % B:
+        raise ValueError("time-major FIR needs chunk % block == 0")
+    nb = chunk // B
+    pad = plan.n_prev * B - plan.overlap
+    pre_r = jnp.zeros((pad, C), xT.re.dtype)
+    ext_r = jnp.concatenate([pre_r, carry_T.re, xT.re], axis=0)
+    ext_i = jnp.concatenate([pre_r, carry_T.im, xT.im], axis=0)
+    dot = cx.make_dot((((0,), (0,)), ((), ())),
+                      cx.resolve_precision(precision))
+    Wn = plan.window
+    outs_r, outs_i = [], []
+    for i in range(nb):
+        z = jnp.concatenate([ext_r[i * B: i * B + Wn],
+                             ext_i[i * B: i * B + Wn]], axis=0)  # [2W, C]
+        y2 = dot(W, z)                                           # [2B, C]
+        outs_r.append(y2[:B])
+        outs_i.append(y2[B:])
+    yT = cx.CX(jnp.concatenate(outs_r, axis=0),
+               jnp.concatenate(outs_i, axis=0))
+    if plan.overlap == 0:
+        new_carry = cx.CX(xT.re[:0], xT.im[:0])
+    elif chunk >= plan.overlap:
+        new_carry = cx.CX(xT.re[-plan.overlap:], xT.im[-plan.overlap:])
+    else:
+        new_carry = cx.CX(
+            jnp.concatenate([carry_T.re[chunk:], xT.re], axis=0),
+            jnp.concatenate([carry_T.im[chunk:], xT.im], axis=0))
+    return new_carry, yT
+
+
 def build_w_real(plan: FIRMatmulPlan, taps: np.ndarray) -> jax.Array:
     """[window, block] real matmul matrix for REAL taps (the modulated
     passband path: a real lowpass prototype applied to a basebanded

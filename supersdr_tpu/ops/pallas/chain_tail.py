@@ -82,14 +82,18 @@ def _n_pows(T):
 
 def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
             audio_ref, st_out_ref, carry, *, T: int, C: int, n_t: int,
-            L: int, PER: int, taps: tuple, ssb: bool):
+            L: int, PER: int, taps: tuple, ssb: bool,
+            accum_pow: bool = False):
     """Grid (c_group, t): par_ref [8,1] SMEM scalars
     (r_dc, decay_d, thresh, slope, target, man_gain, agc_on, attack);
     ramp_ref [T, 1] iota ramp; p_ref [8·?, L...] resample taps
     (row m, col p → taps P[m, p]) padded; yr/yi [T, C] passband planes;
     audio [T·L, C]; st_in/st_out [8, C] per-group stream state rows:
-      0 dc_x, 1 dc_y, 2 peak_db, 3 gain_db, 4.. resample tail (PER-1=8)
-    carry: VMEM scratch [8 + PER, C] persisted across the t dimension.
+      0 dc_x, 1 dc_y, 2 peak_db, 3 gain_db, 4.. resample tail (PER-1),
+      then (accum_pow) one per-chunk Σ|y|² accumulator row — the
+      passband power the XLA path reads back for RSSI, folded here so
+      the wideband pipeline never re-reads y from HBM.
+    carry: VMEM scratch persisted across the t dimension.
     """
     t = pl.program_id(1)
     r_dc = par_ref[0, 0]
@@ -107,6 +111,14 @@ def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
 
     yr = yr_ref[:]
     yi = yi_ref[:]
+    if accum_pow:
+        pw = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)   # [1, C]
+        row = 4 + PER - 1
+
+        @pl.when(t == 0)
+        def _():
+            carry[row: row + 1, :] = jnp.zeros_like(pw)
+        carry[row: row + 1, :] += pw
     n_pows = _n_pows(T)
     if ssb:
         # USB/LSB/CW: the one-sided passband makes y analytic — audio is
@@ -174,23 +186,29 @@ def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
     # sublane-split reshapes — jnp.stack does not lower through Mosaic)
     out = jnp.concatenate([ph.reshape(T, 1, C) for ph in phases],
                           axis=1).reshape(T * L, C)
-    audio_ref[:] = out
+    audio_ref[:] = out.astype(audio_ref.dtype)
     st_out_ref[:, :] = carry[:, :]
 
 
 def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                   params_vec: jax.Array, P: jax.Array, *,
                   tile_t: int = 1024, lane_c: int = 128, L: int = 4,
-                  ssb: bool = False, interpret: bool = False
+                  ssb: bool = False, interpret: bool = False,
+                  accum_pow: bool = False, audio_dtype=jnp.float32
                   ) -> tuple[jax.Array, jax.Array]:
     """Run the fused AM tail.
 
     yT_r/yT_i:  [chunk, n_chan] transposed passband planes
-    state_rows: [n_groups, 8 + PER, lane_c] stream state
-                (rows: dc_x, dc_y, peak_db, gain_db, resample tail[PER−1])
+    state_rows: [n_groups, 4 + PER − 1 (+1 with accum_pow), lane_c]
+                stream state (rows: dc_x, dc_y, peak_db, gain_db,
+                resample tail[PER−1], then the Σ|y|² accumulator row —
+                per-chunk scratch, reset at t==0, valid on OUTPUT only)
     params_vec: [8] f32 (r_dc, decay/sample, thresh, slope, target,
                 man_gain, agc_on, attack)
     P:          [PER, L] polyphase matrix (resample.plan_interp)
+    audio_dtype: output plane dtype — float16/bfloat16 halve the audio
+                HBM write (the largest buffer the pipeline touches);
+                gate the quantization on the bench oracle SNR.
     Returns (audioT [chunk·L, n_chan], new_state_rows).
     """
     chunk, M = yT_r.shape
@@ -218,9 +236,9 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
 
     audio, st_out = pl.pallas_call(
         partial(_kernel, T=tile_t, C=lane_c, n_t=n_t, L=L, PER=PER,
-                taps=taps, ssb=ssb),
+                taps=taps, ssb=ssb, accum_pow=accum_pow),
         out_shape=(
-            jax.ShapeDtypeStruct((chunk * L, M), jnp.float32),
+            jax.ShapeDtypeStruct((chunk * L, M), audio_dtype),
             jax.ShapeDtypeStruct((n_groups * rows, lane_c), jnp.float32),
         ),
         grid=(n_groups, n_t),

@@ -44,26 +44,80 @@ def _round_up8(n: int) -> int:
     return (n + 7) & ~7
 
 
-def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, re_ref, im_ref,
+def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
+            head_i_ref, re_ref, im_ref,
             out_r, out_i, scr_re, scr_im, fold_r, fold_i, y_r, y_i,
-            sems, *, K: int, T: int, win: int, n1: int, n2: int,
-            bf16_mxu: bool):
+            sems, *, K: int, T: int, n1: int, n2: int,
+            bf16_mxu: bool, n_tiles: int, n_frames: int):
+    """Input comes as the RAW [n_frames, M] planes plus an 8-row "head"
+    holding the K−1 carry rows (zero-padded on top): the kernel stitches
+    the virtual [carry | x | zero-pad] segment itself per tile, so the
+    caller never materializes a padded/concatenated copy of the input —
+    at the bench shape that concat+pad cost ~1.6 ms of pure HBM traffic
+    (the pipeline's largest read)."""
     i = pl.program_id(0)
-    d_re = pltpu.make_async_copy(re_ref.at[pl.ds(i * T, win), :],
-                                 scr_re, sems.at[0])
-    d_im = pltpu.make_async_copy(im_ref.at[pl.ds(i * T, win), :],
-                                 scr_im, sems.at[1])
-    d_re.start()
-    d_im.start()
-    d_re.wait()
-    d_im.wait()
+    hk = K - 1
+    off = 8 - hk          # virtual segment row v lives at scr row v+off
+                          # (scr rows [off, 8) hold the carry; x tiles
+                          # land at row 8 — every DMA offset/length is
+                          # 8-aligned, which Mosaic's memref slicing
+                          # requires; sub-8 VECTOR reads/writes are fine)
+
+    def dma(src_start, dst_start, length):
+        # Mosaic's divisibility analysis can't prove i·T − 8 ≡ 0 (mod 8)
+        # through the affine expression — annotate it
+        src = pl.ds(pl.multiple_of(src_start, 8), length)
+        d_re = pltpu.make_async_copy(
+            re_ref.at[src, :],
+            scr_re.at[pl.ds(dst_start, length), :], sems.at[0])
+        d_im = pltpu.make_async_copy(
+            im_ref.at[src, :],
+            scr_im.at[pl.ds(dst_start, length), :], sems.at[1])
+        d_re.start()
+        d_im.start()
+        d_re.wait()
+        d_im.wait()
+
+    def zero(lo, hi):
+        scr_re[lo:hi, :] = jnp.zeros((hi - lo, scr_re.shape[1]),
+                                     scr_re.dtype)
+        scr_im[lo:hi, :] = jnp.zeros((hi - lo, scr_im.shape[1]),
+                                     scr_im.dtype)
+
+    def head():
+        scr_re[0:8, :] = head_r_ref[0:8, :]
+        scr_im[0:8, :] = head_i_ref[0:8, :]
+
+    if n_tiles == 1:
+        head()
+        dma(0, 8, n_frames)
+        if 8 + T - (8 + n_frames):
+            zero(8 + n_frames, 8 + T)
+    else:
+        # x rows available to the last tile, from the 8-aligned start
+        L8 = n_frames - (n_tiles - 1) * T + 8
+
+        @pl.when(i == 0)
+        def _():
+            head()
+            dma(0, 8, T)
+
+        @pl.when((i > 0) & (i < n_tiles - 1))
+        def _():
+            dma(i * T - 8, 0, 8 + T)
+
+        @pl.when(i == n_tiles - 1)
+        def _():
+            dma(i * T - 8, 0, L8)
+            if 8 + T - L8:
+                zero(L8, 8 + T)
     # K-tap fold (VPU; scratch accumulators keep stack pressure at one
-    # live buffer per plane)
-    fold_r[:] = g_ref[0][None, :] * scr_re[0:T, :]
-    fold_i[:] = g_ref[0][None, :] * scr_im[0:T, :]
+    # live buffer per plane); virtual segment row v = scr row v + off
+    fold_r[:] = g_ref[0][None, :] * scr_re[off: off + T, :]
+    fold_i[:] = g_ref[0][None, :] * scr_im[off: off + T, :]
     for k in range(1, K):
-        fold_r[:] += g_ref[k][None, :] * scr_re[k: k + T, :]
-        fold_i[:] += g_ref[k][None, :] * scr_im[k: k + T, :]
+        fold_r[:] += g_ref[k][None, :] * scr_re[off + k: off + k + T, :]
+        fold_i[:] += g_ref[k][None, :] * scr_im[off + k: off + k + T, :]
     # stage A: for each output sub-index k1, accumulate the n1 input
     # branches. f3[t, j1, j2] is the lane-aligned column block
     # fold[:, j1·n2:(j1+1)·n2]; the table row At2[j1·n1+k1] carries
@@ -123,7 +177,7 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, re_ref, im_ref,
 def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
                        carry: jax.Array, x: jax.Array, *,
                        tile_t: int = 128, bf16_mxu: bool = True,
-                       interpret: bool = False
+                       interpret: bool = False, out_layout: str = "chan"
                        ) -> tuple[jax.Array, jax.Array]:
     """Fused channelizer step (traced contexts, critical sampling).
 
@@ -132,7 +186,17 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
     precision mxu2 tier (bf16_mxu=True, stage B only; the fold and
     stage A accumulate in f32 — strictly more accurate than the f16
     slice fold + bf16 stage A of the XLA fast profile).
+
+    out_layout="time" returns chans TIME-MAJOR [n//M, M] instead —
+    the layout the fused chain tail consumes — so the whole wideband
+    fast path runs time-major with ONE layout rotation total (this
+    wrapper's transpose; the per-channel m index is identical in both
+    layouts).
     """
+    from supersdr_tpu.ops import cx as cx_mod
+    xs = cx_mod.as_cx(x) if not isinstance(x, cx_mod.CX) else x
+    cs = cx_mod.as_cx(carry) if not isinstance(carry, cx_mod.CX) else carry
+
     M, K = plan.n_chan, plan.taps_per
     if plan.hop != M:
         raise ValueError("fused channelizer requires critical sampling")
@@ -141,7 +205,7 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
         raise ValueError("fused channelizer needs n_chan with a "
                          "lane-multiple factor (n2 % 128 == 0)")
     n1, n2 = fac
-    n = x.shape[-1]
+    n = xs.shape[-1]
     n_frames = n // M
     Ar, Ai, c2r, c2i = channelizer._dif_tables(M, n1, n2)
     # At2[(j1·n1 + k1), j2] = A[j2, k1, j1]
@@ -151,17 +215,25 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
         Ai.transpose(2, 1, 0).reshape(n1 * n1, n2)))
     g2 = W.reshape(-1)[::-1].reshape(K, M)
 
-    seg = jnp.concatenate([carry, x], axis=-1)
-    rows = seg.reshape(n_frames + K - 1, M)
     n_tiles = -(-n_frames // tile_t)
-    win = _round_up8(tile_t + K - 1)
-    pad_frames = (n_tiles - 1) * tile_t + win - (n_frames + K - 1)
-    re = jnp.pad(rows.real.astype(jnp.float32), ((0, pad_frames), (0, 0)))
-    im = jnp.pad(rows.imag.astype(jnp.float32), ((0, pad_frames), (0, 0)))
+    if n_frames % 8:
+        raise ValueError("fused channelizer needs n_frames % 8 == 0 "
+                         "(8-aligned window DMAs)")
+    # raw input planes, zero-copy [n_frames, M] views — the kernel
+    # stitches carry/x/pad itself (no concat, no pad pass)
+    re = xs.re.reshape(n_frames, M)
+    im = xs.im.reshape(n_frames, M)
+    # 8-row head: zeros on top, the K−1 carry rows at the bottom
+    head_r = jnp.concatenate(
+        [jnp.zeros((8 - (K - 1), M), jnp.float32),
+         cs.re.reshape(K - 1, M)], axis=0)
+    head_i = jnp.concatenate(
+        [jnp.zeros((8 - (K - 1), M), jnp.float32),
+         cs.im.reshape(K - 1, M)], axis=0)
 
     out_r, out_i = pl.pallas_call(
-        partial(_kernel, K=K, T=tile_t, win=win, n1=n1, n2=n2,
-                bf16_mxu=bf16_mxu),
+        partial(_kernel, K=K, T=tile_t, n1=n1, n2=n2,
+                bf16_mxu=bf16_mxu, n_tiles=n_tiles, n_frames=n_frames),
         out_shape=(
             jax.ShapeDtypeStruct((n1, n_tiles * tile_t, n2), jnp.float32),
             jax.ShapeDtypeStruct((n1, n_tiles * tile_t, n2), jnp.float32),
@@ -177,6 +249,10 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, M), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, M), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -187,8 +263,8 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((win, M), jnp.float32),
-            pltpu.VMEM((win, M), jnp.float32),
+            pltpu.VMEM((8 + tile_t, M), jnp.float32),
+            pltpu.VMEM((8 + tile_t, M), jnp.float32),
             pltpu.VMEM((tile_t, M), jnp.float32),
             pltpu.VMEM((tile_t, M), jnp.float32),
             pltpu.VMEM((n1 * tile_t, n2), jnp.float32),
@@ -197,11 +273,20 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
         ],
         interpret=interpret,
     )(g2.astype(jnp.float32), At_r, At_i, jnp.asarray(c2r),
-      jnp.asarray(c2i), re, im)
+      jnp.asarray(c2i), head_r, head_i, re, im)
 
-    # [n1(k1), nf, n2(k2)] → chans [m = k2·n1 + k1, nf]: one XLA
-    # transpose outside the kernel (the only non-fused pass)
+    # [n1(k1), nf, n2(k2)] → one XLA transpose outside the kernel (the
+    # only non-fused pass): chans [m = k2·n1 + k1, nf] ("chan") or the
+    # time-major [nf, m] ("time" — reshape of [nf, n2, n1] flattens to
+    # the same m = k2·n1 + k1 channel index)
+    h = plan.history
+    new_carry = jax.lax.complex(xs.re[..., -h:], xs.im[..., -h:])
+    if out_layout == "time":
+        xr = jnp.transpose(out_r[:, :n_frames, :], (1, 2, 0)
+                           ).reshape(n_frames, M)
+        xi = jnp.transpose(out_i[:, :n_frames, :], (1, 2, 0)
+                           ).reshape(n_frames, M)
+        return new_carry, jax.lax.complex(xr, xi)
     xr = jnp.transpose(out_r[:, :n_frames, :], (2, 0, 1)).reshape(M, n_frames)
     xi = jnp.transpose(out_i[:, :n_frames, :], (2, 0, 1)).reshape(M, n_frames)
-    new_carry = seg[..., -plan.history:]
     return new_carry, jax.lax.complex(xr, xi)

@@ -49,11 +49,23 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
     if cfg.n_chan % d or cfg.chunk_in % (d * cfg.n_chan):
         raise ValueError("n_devices must divide n_chan and chunk_in/n_chan")
     plan = wb.pfb_plan(cfg)
-    # Pallas kernels don't run under shard_map on this runtime: the mesh
-    # chains use the XLA tail (the channelizer likewise maps to its XLA
-    # mxu2 equivalent below)
-    import dataclasses as _dc
-    ccfg = _dc.replace(cfg.chain_cfg, tail_impl="xla")
+    # Since round 4 the mesh runs the SAME kernel enum the serial bench
+    # ships: Pallas kernels compile and execute under shard_map on this
+    # runtime (probed per round — benchmarks/probe_pallas_shardmap.py,
+    # all four probes PASS in r4), so the fused channelizer and the
+    # fused chain tail are invoked per-device around the two explicit
+    # collective points (halo ppermute below, all_to_all reshard).
+    ccfg = cfg.chain_cfg
+    # time-major mesh form: fused channelizer emits [f_local, M], the
+    # all_to_all resharding rides the LANE dim, and each device runs the
+    # time-major passband + fused tail on its channel subset (the serial
+    # fast profile's exact program, per shard). Per-shard viability is
+    # static: the fused kernels must serve n_chan/d channels and the
+    # local frame count.
+    f_local = cfg.chunk_in // (d * cfg.n_chan)
+    tmajor = (cfg.time_major and wb._tmajor_fused_ok(cfg)
+              and chain_mod._pallas_tail_ok(ccfg, (cfg.n_chan // d,))
+              and f_local % 8 == 0)
 
     def body(params: wb.WidebandParams, state: wb.WidebandState,
              iq: cx.CX):
@@ -62,23 +74,35 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
         idx = jax.lax.axis_index(AXIS)
         halo = scans.left_context(iqc, plan.history, AXIS)
         head = jnp.where(idx == 0, cx.to_complex(state.pfb_carry), halo)
-        if cfg.chan_impl in ("mxu2", "mxu2conv", "mxu2fused",
-                             "mxu2pallas"):
-            # the mesh honors the serial pipeline's channelizer tuning,
-            # with Pallas impls mapped to their XLA mxu2 equivalent
-            # (lane-layout DIF + optional f16 fold, ops/channelizer.py)
-            _, chans = channelizer.channelize_mxu2_c(
-                plan, params.W_pfb, head, iqc,
-                fold_impl="conv" if cfg.chan_impl == "mxu2conv"
-                else "slices",
-                precision=cx.resolve_precision(cfg.chan_precision),
-                fold_dtype=(jnp.float16 if cfg.chan_fold_dtype == "f16"
-                            else jnp.float32))
-        else:
-            _, chans = channelizer.channelize_c(plan, params.W_pfb, head,
-                                                iqc)
-        # chans: [n_chan, frames_local]
         pfb_carry = iqc[..., -plan.history:]
+
+        if tmajor:
+            from supersdr_tpu.ops import fir_matmul
+            from supersdr_tpu.ops.pallas import channelize_fused
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            _, chansT = channelize_fused.channelize_fused_c(
+                plan, params.W_pfb, head, iqc,
+                bf16_mxu=(cfg.chan_precision == "default"),
+                interpret=not on_tpu, out_layout="time")
+            # reshard: [f_local, n_chan] -> [f_local·d, n_chan/d]
+            chansT = jax.lax.all_to_all(chansT, AXIS, split_axis=1,
+                                        concat_axis=0, tiled=True)
+            carry_T = cx.CX(state.chain.os_carry.re.T,
+                            state.chain.os_carry.im.T)
+            new_carry_T, yT = fir_matmul.fir_matmul_stream_tmajor_c(
+                ccfg.fir_plan, params.chain.W_pass, carry_T,
+                cx.split(chansT),
+                precision=cx.resolve_precision(ccfg.passband_precision))
+            os_carry = cx.CX(new_carry_T.re.T, new_carry_T.im.T)
+            cstate, audioT, rssi = chain_mod.process_tail_tmajor(
+                ccfg, params.chain, state.chain, state.chain.phase, yT,
+                os_carry, audio_dtype=wb._audio_np_dtype(cfg))
+            last = jax.lax.all_gather(pfb_carry, AXIS)[d - 1]
+            return (wb.WidebandState(pfb_carry=cx.split(last),
+                                     chain=cstate), audioT, rssi)
+
+        _, chans = wb.channelize_dispatch(cfg, params, head, iqc)
+        # chans: [n_chan, frames_local]
 
         # ---- reshard: time-split -> channel-split (all_to_all over ICI)
         # [n_chan, f_local] -> [n_chan/d, f_local*d]
@@ -88,11 +112,16 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
         # ---- phase 2: channel-parallel chains, full time on-device
         cstate, out = chain_mod.process_traced(ccfg, params.chain,
                                                state.chain, cx.split(chans))
+        audio = out.audio
+        if cfg.time_major:
+            # keep the time-major output contract on the fallback tier
+            audio = jnp.swapaxes(audio, -1, -2).astype(
+                wb._audio_np_dtype(cfg))
         # pfb carry lives on the last time shard; broadcast it so the next
         # call's shard 0 check uses the right value
         last = jax.lax.all_gather(pfb_carry, AXIS)[d - 1]
         return (wb.WidebandState(pfb_carry=cx.split(last), chain=cstate),
-                out.audio, out.rssi)
+                audio, out.rssi)
 
     def cxspec(*p):
         return cx.CX(P(*p), P(*p))
@@ -108,8 +137,9 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
         os_carry=cxspec(AXIS, None), interp_carry=P(AXIS, None),
         demod=chain_state_spec.demod._replace(last_sample=cxspec(AXIS)))
     state_spec = wb.WidebandState(pfb_carry=cxspec(), chain=chain_state_spec)
+    audio_spec = P(None, AXIS) if cfg.time_major else P(AXIS, None)
     out_spec = (wb.WidebandState(pfb_carry=cxspec(), chain=chain_state_spec),
-                P(AXIS, None), P(AXIS, None))
+                audio_spec, P(AXIS, None))
 
     sharded = jax.shard_map(body, mesh=mesh,
                             in_specs=(params_spec, state_spec, cxspec(AXIS)),

@@ -311,11 +311,29 @@ def _tail_tile(chunk: int) -> int:
 
 
 def _pallas_tail_ok(cfg: ChainConfig, batch: tuple) -> bool:
+    # batches ≥128 that aren't lane multiples (e.g. a mesh shard of
+    # 2560/8 = 320 channels) run with the channel axis zero-padded to
+    # the next multiple of 128; smaller batches take the XLA path (the
+    # padding waste would dominate, and small configs are cheap there)
     return (cfg.mode.upper() in ("AM", "USB", "LSB", "CW")
             and not cfg.is_rational
             and not cfg.hang_enabled and cfg.agc_decimation == 1
-            and len(batch) == 1 and batch[0] % 128 == 0
+            and len(batch) == 1 and batch[0] >= 128
             and _tail_tile(cfg.chunk) >= 8)
+
+
+def _tail_params_vec(params: ChainParams) -> jax.Array:
+    ag = params.agc
+    return jnp.stack([
+        jnp.asarray(0.999, jnp.float32),             # demod_am dc_r
+        jnp.asarray(ag.decay_per_sample_db, jnp.float32),
+        jnp.asarray(ag.thresh_db, jnp.float32),
+        jnp.asarray(ag.slope_db, jnp.float32),
+        jnp.asarray(ag.target_db, jnp.float32),
+        jnp.asarray(ag.man_gain_db, jnp.float32),
+        jnp.asarray(ag.on, jnp.float32),
+        jnp.asarray(ag.attack_coeff, jnp.float32),
+    ])
 
 
 def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
@@ -328,37 +346,39 @@ def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
     import numpy as _np
 
     C = y.shape[0]
-    G = C // 128
+    Cp = -(-C // 128) * 128            # lane-padded channel count
+    G = Cp // 128
     PER = cfg.interp_plan.per
     rows = 4 + (PER - 1)
-    ag = params.agc
-    params_vec = jnp.stack([
-        jnp.asarray(0.999, jnp.float32),             # demod_am dc_r
-        jnp.asarray(ag.decay_per_sample_db, jnp.float32),
-        jnp.asarray(ag.thresh_db, jnp.float32),
-        jnp.asarray(ag.slope_db, jnp.float32),
-        jnp.asarray(ag.target_db, jnp.float32),
-        jnp.asarray(ag.man_gain_db, jnp.float32),
-        jnp.asarray(ag.on, jnp.float32),
-        jnp.asarray(ag.attack_coeff, jnp.float32),
-    ])
+    params_vec = _tail_params_vec(params)
     _, P = resample.plan_interp(
         cfg.upsample, firdesign.lowpass_taps(cfg.iq_rate / 2,
                                              cfg.audio_rate))
+
+    def cpad(a):
+        # zero-pad the channel axis (axis 0) to the lane multiple
+        if Cp == C:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((Cp - C,) + a.shape[1:], a.dtype)], axis=0)
+
     st_rows = jnp.concatenate([
-        state.demod.dc_x.reshape(G, 1, 128),
-        state.demod.dc_y.reshape(G, 1, 128),
-        state.agc.peak_db.reshape(G, 1, 128),
-        state.agc.gain_db.reshape(G, 1, 128),
-        jnp.swapaxes(state.interp_carry.reshape(G, 128, PER - 1), 1, 2),
+        cpad(state.demod.dc_x).reshape(G, 1, 128),
+        cpad(state.demod.dc_y).reshape(G, 1, 128),
+        cpad(state.agc.peak_db).reshape(G, 1, 128),
+        cpad(state.agc.gain_db).reshape(G, 1, 128),
+        jnp.swapaxes(cpad(state.interp_carry).reshape(G, 128, PER - 1),
+                     1, 2),
     ], axis=1)
+    yTr = cpad(jnp.real(y)).T            # [chunk, Cp]
+    yTi = cpad(jnp.imag(y)).T
     interpret = jax.default_backend() not in ("tpu", "axon")
     audioT, st2 = chain_tail.chain_tail_am(
-        jnp.real(y).T, jnp.imag(y).T, st_rows, params_vec,
+        yTr, yTi, st_rows, params_vec,
         _np.asarray(P), tile_t=_tail_tile(cfg.chunk), L=cfg.upsample,
         ssb=cfg.mode.upper() in ("USB", "LSB", "CW"),
         interpret=interpret)
-    audio = audioT.T                                  # [C, chunk·L]
+    audio = audioT.T[:C]                              # [C, chunk·L]
 
     # squelch gate at the audio rate (statically compiled out when off,
     # like the serial path); when enabled the ramp is rescaled so its
@@ -373,17 +393,99 @@ def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
 
     dstate = demod_ops.DemodState(
         last_sample=state.demod.last_sample,
-        dc_x=st2[:, 0, :].reshape(C),
-        dc_y=st2[:, 1, :].reshape(C))
-    astate = agc_ops.AGCState(peak_db=st2[:, 2, :].reshape(C),
-                              gain_db=st2[:, 3, :].reshape(C))
+        dc_x=st2[:, 0, :].reshape(Cp)[:C],
+        dc_y=st2[:, 1, :].reshape(Cp)[:C])
+    astate = agc_ops.AGCState(peak_db=st2[:, 2, :].reshape(Cp)[:C],
+                              gain_db=st2[:, 3, :].reshape(Cp)[:C])
     icarry = jnp.swapaxes(st2[:, 4:4 + PER - 1, :], 1, 2).reshape(
-        C, PER - 1)
+        Cp, PER - 1)[:C]
     new_state = ChainState(phase=phase, os_carry=os_carry, demod=dstate,
                            agc=astate, interp_carry=icarry,
                            squelch=sq_state)
     return new_state, ChainOutput(audio=audio, rssi=rssi,
                                   baseband=cx.split(y))
+
+
+def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
+                        state: ChainState, phase, yT: cx.CX,
+                        os_carry: cx.CX, *, audio_dtype=jnp.float32
+                        ) -> tuple["ChainState", jax.Array, jax.Array]:
+    """TIME-MAJOR fused back half: yT [chunk, C] split-complex passband
+    (lane-major channels) → (state, audioT [chunk·L, C], rssi [C, 1]).
+
+    The zero-transpose variant of `_process_tail_pallas` for the
+    wideband fast path: the tail kernel consumes yT directly, RSSI is
+    accumulated IN the kernel (Σ|y|² carried across time tiles — y is
+    never re-read from HBM), and the audio comes back time-major in
+    `audio_dtype`. State packing is identical to the channel-major
+    path, so chunks chain bit-compatibly across layouts.
+
+    Requires n_rows == 1 (os_block == chunk): the in-kernel power
+    accumulator yields one RSSI per chunk, the wideband configuration.
+    """
+    from supersdr_tpu.ops.pallas import chain_tail
+    import numpy as _np
+
+    if cfg.chunk != cfg.os_block:
+        raise ValueError("time-major tail needs os_block == chunk "
+                         "(one RSSI row per chunk)")
+    C = yT.shape[-1]
+    Cp = -(-C // 128) * 128
+    G = Cp // 128
+    PER = cfg.interp_plan.per
+    params_vec = _tail_params_vec(params)
+    _, P = resample.plan_interp(
+        cfg.upsample, firdesign.lowpass_taps(cfg.iq_rate / 2,
+                                             cfg.audio_rate))
+
+    def cpad_lane(a):
+        # zero-pad the LANE (channel) axis — last dim
+        if Cp == C:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros(a.shape[:-1] + (Cp - C,), a.dtype)], axis=-1)
+
+    def cpad0(a):
+        if Cp == C:
+            return a
+        return jnp.concatenate(
+            [a, jnp.zeros((Cp - C,) + a.shape[1:], a.dtype)], axis=0)
+
+    st_rows = jnp.concatenate([
+        cpad0(state.demod.dc_x).reshape(G, 1, 128),
+        cpad0(state.demod.dc_y).reshape(G, 1, 128),
+        cpad0(state.agc.peak_db).reshape(G, 1, 128),
+        cpad0(state.agc.gain_db).reshape(G, 1, 128),
+        jnp.swapaxes(cpad0(state.interp_carry).reshape(G, 128, PER - 1),
+                     1, 2),
+        jnp.zeros((G, 1, 128), jnp.float32),     # Σ|y|² accumulator row
+    ], axis=1)
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    audioT, st2 = chain_tail.chain_tail_am(
+        cpad_lane(yT.re), cpad_lane(yT.im), st_rows, params_vec,
+        _np.asarray(P), tile_t=_tail_tile(cfg.chunk), L=cfg.upsample,
+        ssb=cfg.mode.upper() in ("USB", "LSB", "CW"),
+        interpret=interpret, accum_pow=True, audio_dtype=audio_dtype)
+    audioT = audioT[:, :C]
+
+    from supersdr_tpu.ops import smeter as smeter_ops
+    pw = st2[:, 4 + PER - 1, :].reshape(Cp)[:C] / cfg.chunk
+    rssi = jnp.maximum(
+        10.0 * jnp.log10(jnp.maximum(pw, 1e-30)) + smeter_ops.DEFAULT_CAL_DB,
+        smeter_ops.RSSI_FLOOR_DB)[:, None]           # [C, 1]
+
+    dstate = demod_ops.DemodState(
+        last_sample=state.demod.last_sample,
+        dc_x=st2[:, 0, :].reshape(Cp)[:C],
+        dc_y=st2[:, 1, :].reshape(Cp)[:C])
+    astate = agc_ops.AGCState(peak_db=st2[:, 2, :].reshape(Cp)[:C],
+                              gain_db=st2[:, 3, :].reshape(Cp)[:C])
+    icarry = jnp.swapaxes(st2[:, 4:4 + PER - 1, :], 1, 2).reshape(
+        Cp, PER - 1)[:C]
+    new_state = ChainState(phase=phase, os_carry=os_carry, demod=dstate,
+                           agc=astate, interp_carry=icarry,
+                           squelch=state.squelch)
+    return new_state, audioT, rssi
 
 
 def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,

@@ -37,10 +37,17 @@ from supersdr_tpu.runtime import chain
 # kernels need a working Mosaic toolchain and lane-multiple n_chan;
 # other shapes fall back to the XLA paths automatically.
 PROFILES = {
+    # round 4: "fast" runs the whole pipeline TIME-MAJOR (zero transpose
+    # passes between stages, kernel-stitched input windows, in-kernel
+    # RSSI) — 3059 Msps/chip vs 2505 for the chan-major r3 form on the
+    # same kernels (benchmarks/ab_tmajor.py). Audio returns
+    # [frames·L, n_chan] float32 (bf16/f16 audio planes measured: bf16
+    # saved nothing, f16 is unsupported by Mosaic on this runtime).
     "fast": dict(passband_impl="matmul", passband_precision="default",
                  chan_impl="mxu2fused", chan_precision="default",
                  resample_impl="matmul",
-                 resample_precision="high", tail_impl="pallas"),
+                 resample_precision="high", tail_impl="pallas",
+                 time_major=True),
     "quality": dict(passband_impl="matmul", passband_precision="high",
                     chan_impl="mxu2pallas", chan_precision="high",
                     resample_impl="matmul",
@@ -93,12 +100,38 @@ class WidebandConfig:
                                         # separate twiddle pass) — same
                                         # math, different XLA layout
                                         # behavior; A/B'd in context
+    time_major: bool = False            # run the whole fast path in
+                                        # TIME-MAJOR layout ([frames,
+                                        # n_chan] — channels on lanes):
+                                        # the fused channelizer emits
+                                        # time-major, the passband rides
+                                        # the dot output dim order, and
+                                        # the fused tail consumes/emits
+                                        # time-major with in-kernel
+                                        # RSSI — zero transpose passes
+                                        # between stages. AUDIO COMES
+                                        # BACK [frames·L, n_chan].
+                                        # Configs the fused kernels
+                                        # can't serve fall back to the
+                                        # chan-major path + transpose
+                                        # (the output contract per cfg
+                                        # is fixed).
+    audio_dtype: str = "f32"            # audio output plane: "f32",
+                                        # "f16" (halves the audio HBM
+                                        # write, ~66 dB quantization
+                                        # floor) or "bf16"; gate on the
+                                        # bench oracle SNR
 
     def __post_init__(self):
         if self.fs_in % self.n_chan:
             raise ValueError("n_chan must divide fs_in")
         if self.chunk_in % self.n_chan:
             raise ValueError("chunk_in must be a multiple of n_chan")
+        if self.time_major and self.mode.upper() == "IQ":
+            raise ValueError("time_major is an audio-path layout (IQ "
+                             "mode keeps complex baseband)")
+        if self.audio_dtype not in ("f32", "f16", "bf16"):
+            raise ValueError("audio_dtype must be 'f32', 'f16' or 'bf16'")
         if self.chan_impl not in ("legacy", "mxu2", "mxu2conv",
                                   "mxu2pallas", "mxu2fused", "stub",
                                   "nofft"):
@@ -166,35 +199,38 @@ def pfb_plan(cfg: WidebandConfig) -> channelizer.PFBPlan:
                                hop=cfg.n_chan)
 
 
-def process_traced(cfg: WidebandConfig, params: WidebandParams,
-                   state: WidebandState, iq: cx.CX
-                   ) -> tuple[WidebandState, chain.ChainOutput]:
-    """Traced-context body: iq [chunk_in] split-complex wideband →
-    audio [n_chan, chunk_per_chan·upsample]. All boundary leaves float."""
+def channelize_dispatch(cfg: WidebandConfig, params: WidebandParams,
+                        carry_c: jax.Array, iq_c: jax.Array
+                        ) -> tuple[jax.Array, jax.Array]:
+    """Channelizer implementation dispatch (shared by the serial pipeline
+    and the mesh body in parallel/sharded_wideband.py — the mesh passes
+    its halo-exchange history as `carry_c`).
+
+    carry_c: [history] complex filter history; iq_c: [n] complex wideband
+    (n a multiple of n_chan). Returns (new_carry, chans [n_chan, n/M]).
+    """
     plan = pfb_plan(cfg)
+    n_frames = iq_c.shape[-1] // cfg.n_chan
     if cfg.pallas_fold:
         from supersdr_tpu.ops.pallas import pfb_fold
         # fold-order taps G[k, r] = rev(proto)[k·M + r], derived from W
         G = params.W_pfb.reshape(-1)[::-1].reshape(cfg.taps_per, cfg.n_chan)
         interpret = jax.default_backend() not in ("tpu", "axon")
         pfb_carry, chans = pfb_fold.channelize_pallas_c(
-            plan, G, cx.to_complex(state.pfb_carry), cx.to_complex(iq),
-            interpret=interpret)
+            plan, G, carry_c, iq_c, interpret=interpret)
     elif cfg.chan_impl == "stub":
         # knockout-profiling stub (semantics-free): reshape-decimate +
         # transpose — the minimal [chunk]→[M, frames] layout work with
         # no fold and no FFT, so `full - stub` bounds the channelizer's
         # in-context compute cost
-        x2 = cx.to_complex(iq).reshape(cfg.chunk_per_chan, cfg.n_chan)
+        x2 = iq_c.reshape(n_frames, cfg.n_chan)
         chans = jnp.swapaxes(x2, 0, 1)
-        pfb_carry = cx.to_complex(state.pfb_carry)
+        pfb_carry = carry_c
     elif cfg.chan_impl == "nofft":
         # knockout-profiling: real fold (f16) + transpose, FFT skipped —
         # `full - nofft` isolates the two DIF matmul stages in context
-        plan2 = plan
-        seg = jnp.concatenate([cx.to_complex(state.pfb_carry),
-                               cx.to_complex(iq)], axis=-1)
-        nf = cfg.chunk_per_chan
+        seg = jnp.concatenate([carry_c, iq_c], axis=-1)
+        nf = n_frames
         rows_r = jnp.real(seg).reshape(nf + cfg.taps_per - 1, cfg.n_chan
                                        ).astype(jnp.float16)
         rows_i = jnp.imag(seg).reshape(nf + cfg.taps_per - 1, cfg.n_chan
@@ -204,7 +240,7 @@ def process_traced(cfg: WidebandConfig, params: WidebandParams,
         fr = channelizer._fold_slices(g2, rows_r, nf, cfg.taps_per)
         fi = channelizer._fold_slices(g2, rows_i, nf, cfg.taps_per)
         chans = jax.lax.complex(fr.T, fi.T)
-        pfb_carry = seg[..., -plan2.history:]
+        pfb_carry = seg[..., -plan.history:]
     elif cfg.chan_impl == "mxu2fused":
         # single-VMEM-pass Pallas kernel: fold + both DIF FFT stages
         # (ops/pallas/channelize_fused.py); lane-aligned n_chan only —
@@ -215,30 +251,112 @@ def process_traced(cfg: WidebandConfig, params: WidebandParams,
         on_tpu = jax.default_backend() in ("tpu", "axon")
         if fac is not None and fac[1] % 128 == 0:
             pfb_carry, chans = channelize_fused.channelize_fused_c(
-                plan, params.W_pfb, cx.to_complex(state.pfb_carry),
-                cx.to_complex(iq),
+                plan, params.W_pfb, carry_c, iq_c,
                 bf16_mxu=(cfg.chan_precision == "default"),
                 interpret=not on_tpu)
         else:
             pfb_carry, chans = channelizer.channelize_mxu2_c(
-                plan, params.W_pfb, cx.to_complex(state.pfb_carry),
-                cx.to_complex(iq), fold_impl="slices",
+                plan, params.W_pfb, carry_c, iq_c, fold_impl="slices",
                 precision=cx.resolve_precision(cfg.chan_precision),
                 fold_dtype=jnp.float32)
     elif cfg.chan_impl in ("mxu2", "mxu2conv", "mxu2pallas"):
         fold_impl = {"mxu2": "slices", "mxu2conv": "conv",
                      "mxu2pallas": "pallas"}[cfg.chan_impl]
         pfb_carry, chans = channelizer.channelize_mxu2_c(
-            plan, params.W_pfb, cx.to_complex(state.pfb_carry),
-            cx.to_complex(iq), fold_impl=fold_impl,
+            plan, params.W_pfb, carry_c, iq_c, fold_impl=fold_impl,
             precision=cx.resolve_precision(cfg.chan_precision),
             fold_dtype=(jnp.float16 if cfg.chan_fold_dtype == "f16"
                         else jnp.float32),
             fft_form=cfg.chan_fft_form)
     else:
         pfb_carry, chans = channelizer.channelize_c(
-            plan, params.W_pfb, cx.to_complex(state.pfb_carry),
-            cx.to_complex(iq), mxu_fft=cfg.mxu_chan_fft)
+            plan, params.W_pfb, carry_c, iq_c, mxu_fft=cfg.mxu_chan_fft)
+    return pfb_carry, chans
+
+
+def _audio_np_dtype(cfg: WidebandConfig):
+    return {"f32": jnp.float32, "f16": jnp.float16,
+            "bf16": jnp.bfloat16}[cfg.audio_dtype]
+
+
+def _tmajor_fused_ok(cfg: WidebandConfig) -> bool:
+    """True when the zero-transpose fused path can serve this config."""
+    fac = channelizer._pick_factors(cfg.n_chan)
+    ccfg = cfg.chain_cfg
+    return (cfg.chan_impl == "mxu2fused" and fac is not None
+            and fac[1] % 128 == 0
+            and ccfg.passband_impl == "matmul"
+            and not ccfg.squelch_enabled
+            and chain._pallas_tail_ok(ccfg, (cfg.n_chan,)))
+
+
+def _process_traced_tmajor(cfg: WidebandConfig, params: WidebandParams,
+                           state: WidebandState, iq: cx.CX
+                           ) -> tuple[WidebandState, chain.ChainOutput]:
+    """TIME-MAJOR flagship body: zero transpose passes between stages.
+
+    fused channelizer (time-major out) → time-major Toeplitz passband
+    (ops/fir_matmul.fir_matmul_stream_tmajor_c) → fused tail with
+    in-kernel RSSI → audio [frames·L, n_chan] in cfg.audio_dtype.
+    Sample-identical to the chan-major path (kernel classes unchanged —
+    only layouts differ); state pytree identical, so layouts can switch
+    mid-stream."""
+    from supersdr_tpu.ops import fir_matmul
+    plan = pfb_plan(cfg)
+    ccfg = cfg.chain_cfg
+    if not _tmajor_fused_ok(cfg):
+        # fallback: chan-major pipeline + one transpose keeps the
+        # per-config output contract (small/odd shapes only — the
+        # headline shapes always take the fused path)
+        pfb_carry, chans = channelize_dispatch(
+            cfg, params, cx.to_complex(state.pfb_carry),
+            cx.to_complex(iq))
+        cstate, out = chain.process_traced(ccfg, params.chain,
+                                           state.chain, cx.split(chans))
+        audioT = jnp.swapaxes(out.audio, -1, -2).astype(
+            _audio_np_dtype(cfg))
+        bb = cx.CX(jnp.swapaxes(out.baseband.re, -1, -2),
+                   jnp.swapaxes(out.baseband.im, -1, -2))
+        return (WidebandState(pfb_carry=cx.split(pfb_carry), chain=cstate),
+                chain.ChainOutput(audio=audioT, rssi=out.rssi,
+                                  baseband=bb))
+
+    from supersdr_tpu.ops.pallas import channelize_fused
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    # CX planes go in directly: the kernel stitches carry/x itself, so
+    # no complex materialization, concat or pad pass touches the 660 MB
+    # input — the planes reshape zero-copy into the kernel's DMA source
+    pfb_carry, chansT = channelize_fused.channelize_fused_c(
+        plan, params.W_pfb, state.pfb_carry, iq,
+        bf16_mxu=(cfg.chan_precision == "default"),
+        interpret=not on_tpu, out_layout="time")
+
+    # passband: ride the dot output dim order — carry is stored
+    # channel-major in ChainState (layout-switch compatible); the
+    # [n_taps−1, C] transposes are noise next to the data planes
+    carry_T = cx.CX(state.chain.os_carry.re.T, state.chain.os_carry.im.T)
+    new_carry_T, yT = fir_matmul.fir_matmul_stream_tmajor_c(
+        ccfg.fir_plan, params.chain.W_pass, carry_T, cx.split(chansT),
+        precision=cx.resolve_precision(ccfg.passband_precision))
+    os_carry = cx.CX(new_carry_T.re.T, new_carry_T.im.T)
+
+    cstate, audioT, rssi = chain.process_tail_tmajor(
+        ccfg, params.chain, state.chain, state.chain.phase, yT, os_carry,
+        audio_dtype=_audio_np_dtype(cfg))
+    return (WidebandState(pfb_carry=cx.split(pfb_carry), chain=cstate),
+            chain.ChainOutput(audio=audioT, rssi=rssi, baseband=yT))
+
+
+def process_traced(cfg: WidebandConfig, params: WidebandParams,
+                   state: WidebandState, iq: cx.CX
+                   ) -> tuple[WidebandState, chain.ChainOutput]:
+    """Traced-context body: iq [chunk_in] split-complex wideband →
+    audio [n_chan, chunk_per_chan·upsample] (cfg.time_major: audio
+    [chunk_per_chan·upsample, n_chan]). All boundary leaves float."""
+    if cfg.time_major:
+        return _process_traced_tmajor(cfg, params, state, iq)
+    pfb_carry, chans = channelize_dispatch(
+        cfg, params, cx.to_complex(state.pfb_carry), cx.to_complex(iq))
     cstate, out = chain.process_traced(cfg.chain_cfg, params.chain,
                                        state.chain, cx.split(chans))
     return (WidebandState(pfb_carry=cx.split(pfb_carry), chain=cstate), out)

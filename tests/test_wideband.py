@@ -126,3 +126,80 @@ def test_pallas_fold_config_matches_gather():
     _, out_p = wideband.process(cfg_p, params, wideband.init_state(cfg_p), iq)
     np.testing.assert_allclose(np.asarray(out_p.audio),
                                np.asarray(out_g.audio), rtol=1e-4, atol=1e-5)
+
+
+def test_time_major_fused_equals_chan_major():
+    """The zero-transpose time-major path (fused channelizer time-major
+    out → time-major Toeplitz passband → fused tail w/ in-kernel RSSI)
+    is sample-identical to the chan-major fast profile, state-chained
+    over two chunks, including the RSSI row."""
+    base = dict(fs_in=512 * 12_000, n_chan=512, chunk_in=512 * 512,
+                mode="AM", taps_per=4, n_taps=129)
+    prof = dict(wideband.PROFILES["fast"])
+    prof.pop("time_major", None)
+    prof.pop("audio_dtype", None)
+    cfg_c = wideband.WidebandConfig(**base, **prof)
+    cfg_t = wideband.WidebandConfig(**base, **prof, time_major=True)
+    assert wideband._tmajor_fused_ok(cfg_t)
+    p = wideband.make_params(cfg_c)
+    rng = np.random.default_rng(11)
+    iq = ((rng.normal(size=(2, cfg_c.chunk_in))
+           + 1j * rng.normal(size=(2, cfg_c.chunk_in))) * 0.05
+          ).astype(np.complex64)
+    st_c = wideband.init_state(cfg_c)
+    st_t = wideband.init_state(cfg_t)
+    for k in range(2):
+        st_c, out_c = wideband.process(cfg_c, p, st_c, iq[k])
+        st_t, out_t = wideband.process(cfg_t, p, st_t, iq[k])
+        a_c = np.asarray(out_c.audio)              # [C, T]
+        a_t = np.asarray(out_t.audio).T            # [T, C] -> [C, T]
+        np.testing.assert_allclose(a_t, a_c, rtol=2e-4, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out_t.rssi),
+                                   np.asarray(out_c.rssi), atol=0.01)
+
+
+def test_time_major_fallback_keeps_contract():
+    """Configs the fused kernels can't serve (here n_chan=16) fall back
+    to the chan-major path but keep the time-major output contract."""
+    prof = dict(wideband.PROFILES["fast"])
+    prof.pop("time_major", None)
+    prof.pop("audio_dtype", None)
+    cfg = wideband.WidebandConfig(fs_in=192_000, n_chan=16,
+                                  chunk_in=16 * 512, mode="AM",
+                                  taps_per=4, n_taps=129, **prof,
+                                  time_major=True)
+    assert not wideband._tmajor_fused_ok(cfg)
+    p = wideband.make_params(cfg)
+    rng = np.random.default_rng(5)
+    iq = ((rng.normal(size=cfg.chunk_in)
+           + 1j * rng.normal(size=cfg.chunk_in)) * 0.05
+          ).astype(np.complex64)
+    _, out = wideband.process(cfg, p, wideband.init_state(cfg), iq)
+    assert np.asarray(out.audio).shape == (512 * 4, 16)
+
+
+def test_audio_dtype_f16_quantizes_only():
+    """audio_dtype='f16' returns float16 audio within the f16
+    quantization floor of the f32 path."""
+    base = dict(fs_in=512 * 12_000, n_chan=512, chunk_in=512 * 512,
+                mode="AM", taps_per=4, n_taps=129)
+    prof = dict(wideband.PROFILES["fast"])
+    prof.pop("time_major", None)
+    prof.pop("audio_dtype", None)
+    cfg32 = wideband.WidebandConfig(**base, **prof, time_major=True)
+    cfg16 = wideband.WidebandConfig(**base, **prof, time_major=True,
+                                    audio_dtype="f16")
+    p = wideband.make_params(cfg32)
+    rng = np.random.default_rng(13)
+    iq = ((rng.normal(size=cfg32.chunk_in)
+           + 1j * rng.normal(size=cfg32.chunk_in)) * 0.05
+          ).astype(np.complex64)
+    _, out32 = wideband.process(cfg32, p, wideband.init_state(cfg32), iq)
+    _, out16 = wideband.process(cfg16, p, wideband.init_state(cfg16), iq)
+    a32 = np.asarray(out32.audio, np.float64)
+    a16 = np.asarray(out16.audio, np.float64)
+    assert np.asarray(out16.audio).dtype == np.float16
+    num = np.linalg.norm(a32)
+    den = np.linalg.norm(a16 - a32)
+    snr = 20 * np.log10(num / max(den, 1e-30))
+    assert snr > 60, f"f16 audio SNR {snr:.1f} dB"
