@@ -3,9 +3,9 @@
 Runs the flagship pipeline — polyphase channelizer splitting a 30.72 MHz
 capture into 2560 channels, each through the full receiver chain
 (passband FIR → AM demod → AGC → 4× polyphase resample) — and reports
-aggregate input Msamples/s on the chip.
+aggregate input Msamples/s on the chip, for BOTH tuning profiles.
 
-Methodology (rounds 1-3 post-mortems, VERDICT.md / docs/PERFORMANCE.md):
+Methodology (rounds 1-4 post-mortems, VERDICT.md / docs/PERFORMANCE.md):
   * complex64 never crosses a program boundary — all inputs/outputs/state
     are split-complex float pairs (`ops.cx.CX`), so dispatches execute
     instead of silently aborting.
@@ -13,36 +13,32 @@ Methodology (rounds 1-3 post-mortems, VERDICT.md / docs/PERFORMANCE.md):
     return before execution finishes (and can hang). All timing is
     fetch-forced: the clock stops only when a device-computed reduction
     over the final audio has been fetched to the host.
-  * Integrity gates BEFORE timing, both against CPU-backend subprocess
+  * Integrity gates BEFORE timing, against CPU-backend subprocess
     oracles running the plain (FFT-path, f32) implementation:
       - SMALL (16 chans): cross-backend AND cross-implementation, full
         audio readback, ≥50 dB SNR required.
       - MID (2560 chans, short chunk): exercises the HEADLINE's exact
-        kernel classes — the (20,128) DIF channelizer factor tree, f16
-        fold, 256-sample fir_matmul/resampler tiling — so a
+        kernel classes — the (20,128) DIF factor tree, the fused
+        channelizer, the time-major passband/tail — so a
         config-dependent numerical bug in the big shapes fails the gate
-        (VERDICT r2 #2).
-  * Consistency check: the timed run's mean |audio| must agree with the
-    oracle-validated MID run's (same n_chan, same input distribution)
-    within 25 % — the promised headline-vs-gated-config statistic check.
+        (VERDICT r2 #2; this gate killed two plausible variants in r3).
+      - MID-SSB (2560 chans, mode USB): the fused tail's ssb=True path
+        at the headline channel count (VERDICT r3 #4).
+    Oracle outputs are profile-independent (the oracle runs the plain
+    path), so refs are computed once and shared across profiles.
+  * Consistency check: the timed run's AGC-transient-aligned audio
+    prefix must match the oracle-validated MID run's level within 25 %.
   * The timed input is GENERATED ON DEVICE (jax.random): the axon tunnel
-    moves host buffers at ~1 MB/s, so shipping the 660 MB timed input
-    would add ~12 min of setup without changing what is measured (the
-    gates above use host-generated data end to end).
+    moves host buffers at ~1 MB/s (the gates use host data end to end).
 
 Baseline: the reference client processes one 12 kHz receiver in real time
-(0.012 Msamples/s per receiver, two receivers max — SURVEY.md §6); the
-repo's north-star target is 1 Gsample/s aggregate over ≥2 hosts, i.e.
-500 Msamples/s per host; `vs_baseline` = measured Msps / 500 (the
-per-host share — the aggregate multi-host claim is argued separately in
-docs/PERFORMANCE.md's scaling section).
+(SURVEY.md §6); the repo's north-star target is 1 Gsample/s aggregate
+over ≥2 hosts, i.e. 500 Msamples/s per host; `vs_baseline` = fast-profile
+Msps / 500.
 
-Profiles (BENCH_PROFILE env): "fast" (default — bf16 matmuls where the
-oracle gate showed ≥54 dB audio SNR) or "quality" (3-pass matmuls,
-~76 dB, ~20 % slower). The precision ladder and its measured SNR/speed
-trade is in docs/PERFORMANCE.md; both profiles pass the same gates.
-
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Prints ONE JSON line: the fast profile as the headline {"metric",
+"value", ...} plus a "quality" sub-object with the 80 dB tier's own
+timing and gates — one run, both tiers auditable (VERDICT r3 #6).
 """
 
 import json
@@ -65,22 +61,22 @@ def _profiles():
 
 
 PROFILE = os.environ.get("BENCH_PROFILE", "fast")
-TUNING = _profiles()[PROFILE]
+PROFILES = _profiles()
 
 SMALL = dict(fs_in=192_000, n_chan=16, chunk_in=32_768, mode="AM",
              taps_per=8, n_taps=257, audio_rate=48_000)
-# MID: the headline's n_chan (same DIF factor tree / fold / tiling
-# classes) at a chunk small enough for the CPU oracle and the ~1 MB/s
-# tunnel transfers (10 MB in / 21 MB audio back)
+# MID: the headline's n_chan (same DIF factor tree / fused kernels /
+# tiling classes) at a chunk small enough for the CPU oracle and the
+# ~1 MB/s tunnel transfers (10 MB in / 21 MB audio back)
 MID = dict(fs_in=30_720_000, n_chan=2560, chunk_in=2560 * 512, mode="AM",
            taps_per=8, n_taps=257, audio_rate=48_000)
+MID_SSB = dict(fs_in=30_720_000, n_chan=2560, chunk_in=2560 * 512,
+               mode="USB", taps_per=8, n_taps=257, audio_rate=48_000)
 HEADLINE = dict(fs_in=30_720_000, n_chan=2560,
                 chunk_in=2560 * (16384 - 256), mode="AM",
                 taps_per=8, n_taps=257, audio_rate=48_000)
-# N_SCAN=2 was the round-2 winner (dispatch amortization dominated the
-# 112 ms steps); with the fused kernels the step is ~40 ms and the extra
-# in-flight audio buffers cost more than the amortization buys — A/B'd
-# again in round 3: N_SCAN=1 → 2084 Msps vs 1818 at N_SCAN=2
+# N_SCAN=1: re-A/B'd in r3 — with ~15 ms fused-kernel steps the extra
+# in-flight audio buffers cost more than dispatch amortization buys
 N_SCAN = int(os.environ.get("BENCH_N_SCAN", "1"))
 MIN_MEASURE_S = 2.0
 
@@ -100,6 +96,8 @@ _, audio = wideband.process_many(cfg, params, state, d["iq"])
 np.savez(sys.argv[2], audio=np.asarray(audio))
 """
 
+_oracle_refs = {}    # tag -> (iq, ref audio) — shared across profiles
+
 
 def _snr_db(ref: np.ndarray, got: np.ndarray) -> float:
     num = float(np.linalg.norm(ref))
@@ -109,26 +107,13 @@ def _snr_db(ref: np.ndarray, got: np.ndarray) -> float:
     return 20.0 * np.log10(max(num, 1e-30) / den)
 
 
-def _gate(base_cfg: dict, n_chunks: int, seed: int, tag: str) -> dict:
-    """Run `base_cfg`+TUNING on this backend and the plain path on a CPU
-    oracle subprocess; require finite, nonzero, ≥50 dB agreement."""
-    from supersdr_tpu.runtime import wideband
-
-    cfg = wideband.WidebandConfig(**base_cfg, **TUNING)
+def _oracle(base_cfg: dict, n_chunks: int, seed: int, tag: str):
+    if tag in _oracle_refs:
+        return _oracle_refs[tag]
     rng = np.random.default_rng(seed)
-    iq = ((rng.normal(size=(n_chunks, cfg.chunk_in))
-           + 1j * rng.normal(size=(n_chunks, cfg.chunk_in))) * 0.05
+    iq = ((rng.normal(size=(n_chunks, base_cfg["chunk_in"]))
+           + 1j * rng.normal(size=(n_chunks, base_cfg["chunk_in"]))) * 0.05
           ).astype(np.complex64)
-    params = wideband.make_params(cfg)
-    state = wideband.init_state(cfg)
-    _, audio = wideband.process_many(cfg, params, state, iq)
-    got = np.asarray(audio)          # full fetch — fails loudly if aborted
-    if TUNING.get("time_major"):
-        # tuned pipeline emits audio [n_chunks, frames·L, n_chan]; the
-        # plain-path oracle emits [n_chunks, n_chan, frames·L]
-        got = np.swapaxes(got, -1, -2)
-    got = got.astype(np.float32)
-
     inp = f"/tmp/bench_oracle_in_{tag}.npz"
     outp = f"/tmp/bench_oracle_out_{tag}.npz"
     np.savez(inp, iq=iq)
@@ -138,6 +123,25 @@ def _gate(base_cfg: dict, n_chunks: int, seed: int, tag: str) -> dict:
     subprocess.run([sys.executable, "-c", src, inp, outp], check=True,
                    env=env, timeout=1800)
     ref = np.load(outp)["audio"]
+    _oracle_refs[tag] = (iq, ref)
+    return iq, ref
+
+
+def _gate(tuning: dict, base_cfg: dict, n_chunks: int, seed: int,
+          tag: str) -> dict:
+    """Run `base_cfg`+tuning on this backend vs the plain-path CPU
+    oracle; require finite, nonzero, ≥50 dB agreement."""
+    from supersdr_tpu.runtime import wideband
+
+    iq, ref = _oracle(base_cfg, n_chunks, seed, tag)
+    cfg = wideband.WidebandConfig(**base_cfg, **tuning)
+    params = wideband.make_params(cfg)
+    state = wideband.init_state(cfg)
+    _, audio = wideband.process_many(cfg, params, state, iq)
+    got = np.asarray(audio)          # full fetch — fails loudly if aborted
+    if tuning.get("time_major"):
+        got = np.swapaxes(got, -1, -2)
+    got = got.astype(np.float32)
     snr = _snr_db(ref, got)
     ok = bool(np.isfinite(got).all()) and float(np.abs(got).mean()) > 0 \
         and snr >= 50.0
@@ -146,35 +150,28 @@ def _gate(base_cfg: dict, n_chunks: int, seed: int, tag: str) -> dict:
             f"ok_{tag}": ok}
 
 
-def integrity_check() -> dict:
-    small = _gate(SMALL, n_chunks=2, seed=0, tag="small")
-    mid = _gate(MID, n_chunks=1, seed=2, tag="mid")
-    ok = small.pop("ok_small") and mid.pop("ok_mid")
-    return {"integrity": "pass" if ok else "fail", **small, **mid}
+def integrity_check(tuning: dict) -> dict:
+    small = _gate(tuning, SMALL, n_chunks=2, seed=0, tag="small")
+    mid = _gate(tuning, MID, n_chunks=1, seed=2, tag="mid")
+    ssb = _gate(tuning, MID_SSB, n_chunks=1, seed=4, tag="midssb")
+    ok = small.pop("ok_small") and mid.pop("ok_mid") \
+        and ssb.pop("ok_midssb")
+    return {"integrity": "pass" if ok else "fail", **small, **mid, **ssb}
 
 
-def main():
+def measure(tuning: dict) -> dict:
+    """Gates + fetch-forced headline timing for one tuning profile."""
     import jax
     import jax.numpy as jnp
-
-    try:
-        jax.config.update("jax_compilation_cache_dir", _CACHE)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    except Exception:
-        pass
 
     from supersdr_tpu.ops import cx
     from supersdr_tpu.runtime import wideband
 
-    checks = integrity_check()
-    fail = {"metric": "wideband_iq_to_audio_throughput", "value": 0.0,
-            "unit": "Msamples/s/chip", "vs_baseline": 0.0,
-            "profile": PROFILE, **checks}
+    checks = integrity_check(tuning)
     if checks["integrity"] != "pass":
-        print(json.dumps(fail))
-        sys.exit(1)
+        return {"value": 0.0, **checks}
 
-    cfg = wideband.WidebandConfig(**HEADLINE, **TUNING)
+    cfg = wideband.WidebandConfig(**HEADLINE, **tuning)
     params = wideband.make_params(cfg)
     state = wideband.init_state(cfg)
 
@@ -191,7 +188,7 @@ def main():
     def fetch_stat(audio):
         # device-side reduction over the WHOLE audio tensor; fetching the
         # scalar forces completion of everything it depends on
-        return float(jnp.mean(jnp.abs(audio)))
+        return float(jnp.mean(jnp.abs(audio.astype(jnp.float32))))
 
     # warmup / compile (cold compile through the tunnel can take minutes;
     # the persistent cache makes repeat runs fast)
@@ -199,9 +196,8 @@ def main():
     stat0 = fetch_stat(audio)
     assert np.isfinite(stat0) and stat0 > 0, f"warmup audio bad: {stat0}"
 
-    # timed: state-chained steps; the clock stops at the fetched reduction
     samples_per_step = N_SCAN * cfg.chunk_in
-    iters = 4
+    iters = 8
     while True:
         t0 = time.perf_counter()
         st_t = st
@@ -209,54 +205,78 @@ def main():
             st_t, audio = wideband.process_many(cfg, params, st_t, iq_dev)
         stat = fetch_stat(audio)
         dt = time.perf_counter() - t0
-        if dt >= MIN_MEASURE_S or iters >= 64:
+        if dt >= MIN_MEASURE_S or iters >= 256:
             break
         iters *= 2
 
     assert np.isfinite(stat) and stat > 0, f"timed audio bad: {stat}"
-    tail = np.asarray(audio.re[0, :2, :64] if hasattr(audio, "re")
-                      else audio[0, :2, :64])
-    assert np.isfinite(tail).all(), "audio slice not finite"
     # headline-vs-gated-config consistency: the MID gate ran the same
     # n_chan and input distribution for 512 samples/chan from a fresh
     # state, so the headline's FIRST 512-sample-per-chan audio prefix
     # (identical ensemble, identical AGC-transient position) must match
-    # its level. A config-dependent numerical bug in the big shapes
-    # (factor tree, fold tiling, matmul padding) diverges here or fails
-    # the MID gate outright. (Whole-run means are NOT comparable across
-    # chunk lengths: the AGC attack transient dominates them.)
+    # its level. (Whole-run means are NOT comparable across chunk
+    # lengths: the AGC attack transient dominates them.)
     st0, audio0 = wideband.process_many(cfg, params, state, iq_dev)
     L = cfg.chain_cfg.upsample
-    if TUNING.get("time_major"):
-        prefix = float(jnp.mean(jnp.abs(audio0[0, : 512 * L, :])))
+    if tuning.get("time_major"):
+        prefix = float(jnp.mean(jnp.abs(
+            audio0[0, : 512 * L, :].astype(jnp.float32))))
     else:
-        prefix = float(jnp.mean(jnp.abs(audio0[0, :, : 512 * L])))
+        prefix = float(jnp.mean(jnp.abs(
+            audio0[0, :, : 512 * L].astype(jnp.float32))))
     mid_level = checks["audio_mean_abs_mid"]
     if abs(prefix - mid_level) > 0.25 * mid_level:
-        print(json.dumps({**fail, "integrity": "fail",
-                          "audio_mean_abs_headline": round(stat, 6),
-                          "audio_mean_abs_headline_prefix": round(prefix, 6),
-                          "consistency": "headline prefix level diverges "
-                                         "from oracle-checked mid config"}))
-        sys.exit(1)
+        return {"value": 0.0, **checks, "integrity": "fail",
+                "audio_mean_abs_headline_prefix": round(prefix, 6),
+                "consistency": "headline prefix level diverges from "
+                               "oracle-checked mid config"}
 
     msps = samples_per_step * iters / dt / 1e6
-    out = {
-        "metric": "wideband_iq_to_audio_throughput",
+    return {
         "value": round(msps, 2),
-        "unit": "Msamples/s/chip",
-        "vs_baseline": round(msps / 500.0, 4),
-        "baseline_definition": "north-star 1 Gsps aggregate / 2 hosts = 500 Msps per-host share",
-        "profile": PROFILE,
-        "config": {"n_chan": cfg.n_chan, "fs_in": cfg.fs_in,
-                   "chunk_in": cfg.chunk_in, "n_scan": N_SCAN,
-                   "iters": iters, **TUNING},
+        "step_ms": round(dt / iters * 1e3, 2),
         "elapsed_s": round(dt, 3),
+        "iters": iters,
         "audio_mean_abs_headline": round(stat, 6),
         "audio_mean_abs_headline_prefix": round(prefix, 6),
         **checks,
     }
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", _CACHE)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+    res = measure(PROFILES[PROFILE])
+    out = {
+        "metric": "wideband_iq_to_audio_throughput",
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(res["value"] / 500.0, 4),
+        "baseline_definition": "north-star 1 Gsps aggregate / 2 hosts = "
+                               "500 Msps per-host share",
+        "profile": PROFILE,
+        "config": {"n_chan": HEADLINE["n_chan"], "fs_in": HEADLINE["fs_in"],
+                   "chunk_in": HEADLINE["chunk_in"], "n_scan": N_SCAN,
+                   **PROFILES[PROFILE]},
+        **res,
+    }
+    # secondary tier in the same artifact (VERDICT r3 #6) — skipped only
+    # if it is the same profile as the headline
+    other = "quality" if PROFILE == "fast" else "fast"
+    try:
+        ores = measure(PROFILES[other])
+        out[other] = {"unit": "Msamples/s/chip",
+                      "config": dict(PROFILES[other]), **ores}
+    except Exception as e:      # secondary tier must not kill the artifact
+        out[other] = {"error": f"{type(e).__name__}: {e}"}
     print(json.dumps(out))
+    if out["integrity"] != "pass" or out["value"] <= 0:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -83,7 +83,8 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
             _, chansT = channelize_fused.channelize_fused_c(
                 plan, params.W_pfb, head, iqc,
                 bf16_mxu=(cfg.chan_precision == "default"),
-                interpret=not on_tpu, out_layout="time")
+                tile_t=cfg.chan_tile_t, interpret=not on_tpu,
+                out_layout="time")
             # reshard: [f_local, n_chan] -> [f_local·d, n_chan/d]
             chansT = jax.lax.all_to_all(chansT, AXIS, split_axis=1,
                                         concat_axis=0, tiled=True)

@@ -48,10 +48,17 @@ PROFILES = {
                  resample_impl="matmul",
                  resample_precision="high", tail_impl="pallas",
                  time_major=True),
+    # round 4: "quality" also goes fully fused + time-major — the
+    # in-kernel split-bf16 dot3 stage B (precision "high") now compiles
+    # at tile_t ≤ 112 (the r3 compile cliff starts at 128 for the dot3
+    # path; benchmarks/sweep_quality.py records the sweep): 2368 Msps at
+    # 81.8 dB MID-gate SNR vs 1394 Msps at 82.8 dB for the r3 XLA-FFT
+    # form.
     "quality": dict(passband_impl="matmul", passband_precision="high",
-                    chan_impl="mxu2pallas", chan_precision="high",
+                    chan_impl="mxu2fused", chan_precision="high",
                     resample_impl="matmul",
-                    resample_precision="high", tail_impl="pallas"),
+                    resample_precision="high", tail_impl="pallas",
+                    time_major=True, chan_tile_t=96),
 }
 
 
@@ -116,6 +123,10 @@ class WidebandConfig:
                                         # chan-major path + transpose
                                         # (the output contract per cfg
                                         # is fixed).
+    chan_tile_t: int = 128              # fused channelizer frame-tile
+                                        # (ops/pallas/channelize_fused);
+                                        # sweep knob for the in-kernel
+                                        # dot3 quality path
     audio_dtype: str = "f32"            # audio output plane: "f32",
                                         # "f16" (halves the audio HBM
                                         # write, ~66 dB quantization
@@ -253,7 +264,7 @@ def channelize_dispatch(cfg: WidebandConfig, params: WidebandParams,
             pfb_carry, chans = channelize_fused.channelize_fused_c(
                 plan, params.W_pfb, carry_c, iq_c,
                 bf16_mxu=(cfg.chan_precision == "default"),
-                interpret=not on_tpu)
+                tile_t=cfg.chan_tile_t, interpret=not on_tpu)
         else:
             pfb_carry, chans = channelizer.channelize_mxu2_c(
                 plan, params.W_pfb, carry_c, iq_c, fold_impl="slices",
@@ -329,7 +340,7 @@ def _process_traced_tmajor(cfg: WidebandConfig, params: WidebandParams,
     pfb_carry, chansT = channelize_fused.channelize_fused_c(
         plan, params.W_pfb, state.pfb_carry, iq,
         bf16_mxu=(cfg.chan_precision == "default"),
-        interpret=not on_tpu, out_layout="time")
+        tile_t=cfg.chan_tile_t, interpret=not on_tpu, out_layout="time")
 
     # passband: ride the dot output dim order — carry is stored
     # channel-major in ChainState (layout-switch compatible); the
