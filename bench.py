@@ -190,9 +190,24 @@ def measure(tuning: dict) -> dict:
         # scalar forces completion of everything it depends on
         return float(jnp.mean(jnp.abs(audio.astype(jnp.float32))))
 
+    # N_SCAN=1 steps through `process` directly: its [frames·L, n_chan]
+    # audio aliases the tail kernel's output buffer, where the
+    # [1, frames·L, n_chan] rank-3 result of a 1-chunk process_many
+    # costs a measurable extra copy on this runtime (~1 ms at the
+    # headline shape, measured r4)
+    if N_SCAN == 1:
+        iq_single = cx.CX(iq_dev.re[0], iq_dev.im[0])   # sliced ONCE
+
+        def step(st_, _iq):
+            st2, out = wideband.process(cfg, params, st_, iq_single)
+            return st2, out.audio
+    else:
+        def step(st_, _iq):
+            return wideband.process_many(cfg, params, st_, _iq)
+
     # warmup / compile (cold compile through the tunnel can take minutes;
     # the persistent cache makes repeat runs fast)
-    st, audio = wideband.process_many(cfg, params, state, iq_dev)
+    st, audio = step(state, iq_dev)
     stat0 = fetch_stat(audio)
     assert np.isfinite(stat0) and stat0 > 0, f"warmup audio bad: {stat0}"
 
@@ -202,7 +217,7 @@ def measure(tuning: dict) -> dict:
         t0 = time.perf_counter()
         st_t = st
         for _ in range(iters):
-            st_t, audio = wideband.process_many(cfg, params, st_t, iq_dev)
+            st_t, audio = step(st_t, iq_dev)
         stat = fetch_stat(audio)
         dt = time.perf_counter() - t0
         if dt >= MIN_MEASURE_S or iters >= 256:
@@ -224,6 +239,7 @@ def measure(tuning: dict) -> dict:
     else:
         prefix = float(jnp.mean(jnp.abs(
             audio0[0, :, : 512 * L].astype(jnp.float32))))
+    del st0, audio0
     mid_level = checks["audio_mean_abs_mid"]
     if abs(prefix - mid_level) > 0.25 * mid_level:
         return {"value": 0.0, **checks, "integrity": "fail",

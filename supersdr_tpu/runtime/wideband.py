@@ -405,16 +405,22 @@ def process_many_traced(cfg: WidebandConfig, params: WidebandParams,
 
     if cfg.chan_impl in ("mxu2pallas", "mxu2fused") \
             or cfg.tail_impl == "pallas":
-        # Pallas kernels inside a lax.scan body fail on this runtime
-        # (UNIMPLEMENTED at execution; isolated round 3 — top-level
-        # pallas_call compiles and runs fine). Unroll the chunk loop in
-        # the trace instead: same one-dispatch batching, marginally
-        # larger program.
+        # Pallas kernels inside a lax.scan body failed on the round-3
+        # runtime (UNIMPLEMENTED at execution); the r4 runtime accepts
+        # them (benchmarks/probe_pallas_scan_rdma.py) but the unrolled
+        # trace remains the shipped form at N_SCAN=1. Unroll the chunk
+        # loop: same one-dispatch batching, marginally larger program.
         st = state
         outs = []
         for i in range(iq_chunks.shape[0]):
             st, audio = body(st, iq_chunks[i])
             outs.append(audio)
+        if len(outs) == 1:
+            # expand_dims is a free reshape; a 1-element jnp.stack cost
+            # a measurable extra audio copy on the TPU runtime
+            if isinstance(outs[0], cx.CX):
+                return st, cx.CX(outs[0].re[None], outs[0].im[None])
+            return st, outs[0][None]
         if isinstance(outs[0], cx.CX):
             return st, cx.stack(outs, 0)    # IQ mode: split-complex audio
         return st, jnp.stack(outs, 0)
