@@ -28,7 +28,8 @@ BASE = dict(fs_in=30_720_000, n_chan=2560,
             passband_impl="matmul", passband_precision="default",
             chan_impl="mxu2fused", chan_precision="default",
             resample_impl="matmul",
-            resample_precision="high", tail_impl="pallas")
+            resample_precision="high", tail_impl="pallas",
+            time_major=True)
 N_SCAN = 1
 MIN_S = 2.0
 
@@ -37,7 +38,7 @@ VARIANTS = [
     ("full", {}),
     ("no_passband(n_taps=1)", {"n_taps": 1}),
     ("no_resample(audio=iq_rate)", {"audio_rate": 12_000}),
-    ("iq_mode(no demod/agc)", {"mode": "IQ"}),
+    ("iq_mode(no demod/agc)", {"mode": "IQ", "time_major": False}),
     ("agc_decim8", {"agc_decimation": 8}),
     ("taps_per4(PFB half fold)", {"taps_per": 4}),
     ("xla_mxu2_chan", {"chan_impl": "mxu2", "chan_fold_dtype": "f16"}),
@@ -46,9 +47,12 @@ VARIANTS = [
                          "chan_impl": "mxu2pallas",
                          "chan_precision": "high"}),
     ("no_channelizer(stub)", {"chan_impl": "stub"}),
-    ("stub+iq", {"chan_impl": "stub", "mode": "IQ"}),
+    ("stub+iq", {"chan_impl": "stub", "mode": "IQ",
+                 "time_major": False}),
     ("empty(stub+iq+taps1)", {"chan_impl": "stub", "mode": "IQ",
-                              "n_taps": 1}),
+                              "n_taps": 1, "time_major": False}),
+    ("cmajor(r3 layout)", {"time_major": False}),
+    ("no_rssi_squelch", {}),
     ("chan_no_fft(fold+T)", {"chan_impl": "nofft"}),
 ]
 
@@ -82,14 +86,20 @@ def main():
                                                   jnp.float32))
 
         iq = gen(jax.random.PRNGKey(1))
+        iq1 = cx.CX(iq.re[0], iq.im[0])
 
         def stat(audio):
             if hasattr(audio, "re"):
                 return float(jnp.mean(jnp.abs(audio.re) + jnp.abs(audio.im)))
-            return float(jnp.mean(jnp.abs(audio)))
+            return float(jnp.mean(jnp.abs(audio.astype(jnp.float32))))
+
+        def step(st_):
+            # single-chunk process(), the bench.py N_SCAN=1 basis
+            st2, out = wideband.process(cfg, params, st_, iq1)
+            return st2, out.audio
 
         try:
-            st, audio = wideband.process_many(cfg, params, state, iq)
+            st, audio = step(state)
             s = stat(audio)
             assert np.isfinite(s) and s > 0
             iters = 4
@@ -97,7 +107,7 @@ def main():
                 t0 = time.perf_counter()
                 st_t = st
                 for _ in range(iters):
-                    st_t, audio = wideband.process_many(cfg, params, st_t, iq)
+                    st_t, audio = step(st_t)
                 s = stat(audio)
                 dt = time.perf_counter() - t0
                 if dt >= MIN_S or iters >= 64:

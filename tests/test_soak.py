@@ -147,3 +147,83 @@ def test_soak_drift_double_reads():
     # as sent > processed (extra frames consumed by the drift tick)
     assert eng.dropped_frames == 0
     assert sim.sent == frames
+
+
+def run_session_real_chain(total_frames: int, outage_at=None,
+                           outage_ms=0.0):
+    """Soak with the ACTUAL receiver chain as the process callback
+    (VERDICT r3 #5): every frame runs NCO → passband → demod → AGC →
+    resample on the CPU backend, so compile stalls and per-dispatch
+    jitter are part of the simulated session, not stubbed out."""
+    from supersdr_tpu.control.receiver import Receiver
+    from supersdr_tpu.runtime import chain as chain_mod
+
+    cfg = chain_mod.ChainConfig(mode="AM", iq_rate=12000,
+                                audio_rate=48000, chunk=FRAME,
+                                os_block=FRAME, n_taps=129)
+    rx = Receiver(cfg=cfg, center_freq_khz=1000.0, freq=1001.0,
+                  radio_mode="AM")
+    sim = SimSession(total_frames, outage_at, outage_ms)
+    # a real AM station at +1 kHz so the chain produces audible audio
+    t_idx = {"n": 0}
+
+    base_factory = sim.factory
+
+    def factory():
+        gen = base_factory()
+
+        def toned():
+            for _ in gen:
+                n0 = t_idx["n"]
+                t = (n0 + np.arange(FRAME)) / RATE
+                t_idx["n"] = n0 + FRAME
+                z = (0.4 * (1 + 0.5 * np.sin(2 * np.pi * 400 * t))
+                     * np.exp(2j * np.pi * 1000.0 * t)).astype(np.complex64)
+                yield z
+        return toned()
+
+    audio_seen = {"max": 0.0, "frames": 0}
+
+    def process(block):
+        out = rx.process(block)
+        a = np.asarray(out, np.float32)
+        assert np.isfinite(a).all()
+        audio_seen["max"] = max(audio_seen["max"], float(np.abs(a).max()))
+        audio_seen["frames"] += 1
+        return a
+
+    gov = LatencyGovernor(buffer_frames=10, ms_per_frame=MS_PER_FRAME)
+    eng = StreamEngine(factory, process=process,
+                       config=EngineConfig(buffer_frames=10,
+                                           backoff_closed_s=0.0),
+                       governor=gov,
+                       drift=DriftCompensator(12000, 12000.6, FRAME),
+                       clock=sim.clock)
+    sim.engine = eng
+    eng.run()
+    return sim, eng, gov, audio_seen
+
+
+def test_soak_real_chain_steady_state():
+    """≥60 simulated seconds with the real DSP in the loop: no drops,
+    no late mode, real demodulated audio flowing end to end."""
+    frames = int(65_000 / MS_PER_FRAME)
+    sim, eng, gov, seen = run_session_real_chain(frames)
+    assert sim.now_ms >= 60_000
+    assert eng.dropped_frames == 0
+    assert not gov.late
+    assert seen["frames"] >= frames - 5
+    assert seen["max"] > 0.01            # demodulated audio is nonzero
+
+
+def test_soak_real_chain_disconnect_recovery():
+    """Mid-stream disconnect with the real chain processing: reconnect
+    resumes a clean timeline (zero dropped frames post-recovery)."""
+    frames = int(70_000 / MS_PER_FRAME)
+    sim, eng, gov, seen = run_session_real_chain(
+        frames, outage_at=frames // 3, outage_ms=2_000.0)
+    assert sim.sent == frames
+    assert eng.reconnects == 1
+    assert eng.dropped_frames == 0
+    assert not gov.late
+    assert seen["max"] > 0.01
