@@ -176,6 +176,38 @@ def fir_matmul_stream(plan: FIRMatmulPlan, W, carry, x
     return _fir_matmul_cx(plan, W, cx.as_cx(carry), cx.as_cx(x))
 
 
+def build_w_free(B: int, n_prev: int, taps: np.ndarray) -> np.ndarray:
+    """[2W, 2B] complex-folded Toeplitz matrix WITHOUT the 128-lane
+    block constraint — for TIME-MAJOR kernel use, where the block is a
+    SUBLANE dim (any multiple of 8) and channels hold the lanes. Same
+    math/row layout as `build_w`."""
+    taps = np.asarray(taps)
+    K = len(taps)
+    S = (n_prev + 1) * B
+    p = n_prev * B
+    o = np.arange(B)[None, :]
+    s = np.arange(S)[:, None]
+    k = o - s + p
+    valid = (k >= 0) & (k < K)
+    kc = np.clip(k, 0, K - 1)
+    wr = np.where(valid, np.real(taps)[kc], 0.0)
+    wi = np.where(valid, np.imag(taps)[kc], 0.0)
+    return np.block([[wr, wi], [-wi, wr]]).astype(np.float32)
+
+
+def tail_fir_block(chunk: int, n_taps: int, tile_t: int) -> int | None:
+    """Pick the FIR block B for the in-tail fused passband: the smallest
+    divisor of the tail tile that is ≥ n_taps−1 and a multiple of 8
+    (n_prev = 1 keeps the window at 2B). None → no fusable block."""
+    ov = n_taps - 1
+    best = None
+    for b in range(8, tile_t + 1, 8):
+        if tile_t % b == 0 and b >= max(ov, 8):
+            best = b
+            break
+    return best
+
+
 def fir_matmul_stream_tmajor_c(plan: FIRMatmulPlan, W: jax.Array,
                                carry_T: cx.CX, xT: cx.CX, *,
                                precision=jax.lax.Precision.HIGHEST

@@ -80,22 +80,11 @@ def _n_pows(T):
     return n
 
 
-def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
-            audio_ref, st_out_ref, carry, *, T: int, C: int, n_t: int,
-            L: int, PER: int, taps: tuple, ssb: bool,
-            accum_pow: bool = False):
-    """Grid (c_group, t): par_ref [8,1] SMEM scalars
-    (r_dc, decay_d, thresh, slope, target, man_gain, agc_on, attack);
-    ramp_ref [T, 1] iota ramp; p_ref [8·?, L...] resample taps
-    (row m, col p → taps P[m, p]) padded; yr/yi [T, C] passband planes;
-    audio [T·L, C]; st_in/st_out [8, C] per-group stream state rows:
-      0 dc_x, 1 dc_y, 2 peak_db, 3 gain_db, 4.. resample tail (PER-1),
-      then (accum_pow) one per-chunk Σ|y|² accumulator row — the
-      passband power the XLA path reads back for RSSI, folded here so
-      the wideband pipeline never re-reads y from HBM.
-    carry: VMEM scratch persisted across the t dimension.
-    """
-    t = pl.program_id(1)
+def _tail_core(yr, yi, t, par_ref, ramp_ref, audio_ref, st_out_ref, carry,
+               *, T: int, C: int, L: int, PER: int, taps: tuple,
+               ssb: bool, accum_pow: bool):
+    """The demod→DC→AGC→resample tail math on one [T, C] tile of the
+    passband planes (values, already in VMEM/registers)."""
     r_dc = par_ref[0, 0]
     d = par_ref[1, 0]              # decay per sample (positive dB)
     thresh = par_ref[2, 0]
@@ -105,12 +94,6 @@ def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
     agc_on = par_ref[6, 0]
     attack = par_ref[7, 0]
 
-    @pl.when(t == 0)
-    def _():
-        carry[:, :] = st_in_ref[:, :]
-
-    yr = yr_ref[:]
-    yi = yi_ref[:]
     if accum_pow:
         pw = jnp.sum(yr * yr + yi * yi, axis=0, keepdims=True)   # [1, C]
         row = 4 + PER - 1
@@ -190,15 +173,156 @@ def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
     st_out_ref[:, :] = carry[:, :]
 
 
+def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
+            audio_ref, st_out_ref, carry, *, T: int, C: int, n_t: int,
+            L: int, PER: int, taps: tuple, ssb: bool,
+            accum_pow: bool = False):
+    """Grid (c_group, t): par_ref [8,1] SMEM scalars
+    (r_dc, decay_d, thresh, slope, target, man_gain, agc_on, attack);
+    ramp_ref [T, 1] iota ramp; yr/yi [T, C] passband planes;
+    audio [T·L, C]; st_in/st_out per-group stream state rows:
+      0 dc_x, 1 dc_y, 2 peak_db, 3 gain_db, 4.. resample tail (PER-1),
+      then (accum_pow) one per-chunk Σ|y|² accumulator row — the
+      passband power the XLA path reads back for RSSI, folded here so
+      the wideband pipeline never re-reads y from HBM.
+    carry: VMEM scratch persisted across the t dimension.
+    """
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        carry[:, :] = st_in_ref[:, :]
+
+    _tail_core(yr_ref[:], yi_ref[:], t, par_ref, ramp_ref, audio_ref,
+               st_out_ref, carry, T=T, C=C, L=L, PER=PER, taps=taps,
+               ssb=ssb, accum_pow=accum_pow)
+
+
+def _kernel_fir(par_ref, ramp_ref, w2_ref, pbh_r_ref, pbh_i_ref,
+                xr_ref, xi_ref, st_in_ref, audio_ref, st_out_ref,
+                carry, win_r, win_i, y_r, y_i, sems, *, T: int, C: int,
+                n_t: int, L: int, PER: int, taps: tuple, ssb: bool,
+                accum_pow: bool, B: int, dot3: bool):
+    """Tail kernel with the Toeplitz PASSBAND fused in front: the
+    standalone time-major FIR matmul materialized a [2·2B, C]-per-block
+    window buffer (2× the stream) AND round-tripped y through HBM —
+    ~3 ms in context at the bench shape. Here each tile DMAs its raw
+    channelizer rows once, assembles windows in VMEM (history rows ride
+    a scratch self-copy between sequential t-steps), runs the
+    [4B, 2B]ᵀ·[4B, C] block dots on the MXU, and feeds the y tile
+    straight into the tail math — y never touches HBM.
+
+    w2_ref: [4B, 2B] fir_matmul.build_w_free(B, 1, taps) matrix.
+    pbh_*: [B, C] head rows (zeros | carry) for tile 0.
+    xr/xi: full [chunk, M] planes in ANY memory (windows DMA'd).
+    """
+    c = pl.program_id(0)
+    t = pl.program_id(1)
+    n_slots = 3
+
+    @pl.when(t == 0)
+    def _():
+        carry[:, :] = st_in_ref[:, :]
+
+    def x_dma(tt, slot):
+        """Async copy of x tile `tt` into window slot `slot` rows
+        [B, B+T); descriptors are recreated identically to wait."""
+        d_r = pltpu.make_async_copy(
+            xr_ref.at[pl.ds(pl.multiple_of(tt * T, 8), T),
+                      pl.ds(pl.multiple_of(c * C, 128), C)],
+            win_r.at[slot, pl.ds(B, T), :], sems.at[slot, 0])
+        d_i = pltpu.make_async_copy(
+            xi_ref.at[pl.ds(pl.multiple_of(tt * T, 8), T),
+                      pl.ds(pl.multiple_of(c * C, 128), C)],
+            win_i.at[slot, pl.ds(B, T), :], sems.at[slot, 1])
+        return d_r, d_i
+
+    # TRIPLE-buffered windows: tile t's DMA was started in step t−1;
+    # wait for it, kick off t+1's into slot (t+1)%3, then compute — the
+    # copy overlaps the FIR matmuls + tail math of this step. Three
+    # slots keep the in-flight DMA target, this tile's buffer, and the
+    # previous tile (whose tail provides this tile's history rows)
+    # pairwise distinct — no DMA-vs-vector ordering hazards.
+    slot = jax.lax.rem(t, n_slots)
+    nslot = jax.lax.rem(t + 1, n_slots)
+    pslot = jax.lax.rem(t + n_slots - 1, n_slots)
+
+    @pl.when(t == 0)
+    def _():
+        d_r, d_i = x_dma(t, slot)
+        d_r.start()
+        d_i.start()
+    d_r, d_i = x_dma(t, slot)
+    d_r.wait()
+    d_i.wait()
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        d_r, d_i = x_dma(t + 1, nslot)
+        d_r.start()
+        d_i.start()
+
+    # history rows for THIS slot: tile 0 head from the state/head input,
+    # else the previous slot's x-tile tail
+    @pl.when(t == 0)
+    def _():
+        win_r[slot, 0:B, :] = pbh_r_ref[:, :]
+        win_i[slot, 0:B, :] = pbh_i_ref[:, :]
+
+    @pl.when(t > 0)
+    def _():
+        win_r[slot, 0:B, :] = win_r[pslot, T: T + B, :]
+        win_i[slot, 0:B, :] = win_i[pslot, T: T + B, :]
+
+    # ---- blocked Toeplitz passband on the MXU
+    dot = partial(jax.lax.dot_general,
+                  dimension_numbers=(((0,), (0,)), ((), ())),
+                  preferred_element_type=jnp.float32)
+    for b in range(T // B):
+        z = jnp.concatenate([win_r[slot, b * B: b * B + 2 * B, :],
+                             win_i[slot, b * B: b * B + 2 * B, :]],
+                            axis=0)
+        w2 = w2_ref[:]
+        if dot3:
+            # ~f32: manual split-bf16 ×3 (see channelize_fused stage B —
+            # Mosaic's MXU rounds f32 operands to bf16, and nothing
+            # folds the convert round-trip away, so the split holds)
+            def split(v):
+                hi = v.astype(jnp.bfloat16)
+                lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                return hi, lo
+
+            wh, wl = split(w2)
+            zh, zl = split(z)
+            o = dot(wh, zh) + dot(wh, zl) + dot(wl, zh)
+        else:
+            o = dot(w2.astype(jnp.bfloat16), z.astype(jnp.bfloat16))
+        y_r[b * B:(b + 1) * B, :] = o[:B]
+        y_i[b * B:(b + 1) * B, :] = o[B:]
+
+    _tail_core(y_r[:], y_i[:], t, par_ref, ramp_ref, audio_ref,
+               st_out_ref, carry, T=T, C=C, L=L, PER=PER, taps=taps,
+               ssb=ssb, accum_pow=accum_pow)
+
+
 def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                   params_vec: jax.Array, P: jax.Array, *,
                   tile_t: int = 1024, lane_c: int = 128, L: int = 4,
                   ssb: bool = False, interpret: bool = False,
-                  accum_pow: bool = False, audio_dtype=jnp.float32
+                  accum_pow: bool = False, audio_dtype=jnp.float32,
+                  fir: dict | None = None
                   ) -> tuple[jax.Array, jax.Array]:
     """Run the fused AM tail.
 
-    yT_r/yT_i:  [chunk, n_chan] transposed passband planes
+    yT_r/yT_i:  [chunk, n_chan] transposed passband planes. With `fir`
+                these carry the PRE-passband (channelizer) planes
+                instead, consumed from ANY memory via window DMAs —
+                pass them through fir["x_r"]/fir["x_i"] and give
+                yT_r/yT_i the same arrays (shape source only).
+    fir:        fuse the Toeplitz passband in front (keys: w2 [4B, 2B]
+                from fir_matmul.build_w_free(B, 1, taps); head_r/head_i
+                [B, n_chan] tile-0 history rows; x_r/x_i [chunk,
+                n_chan]; B int; dot3 bool for the ~f32 split-bf16 dot).
     state_rows: [n_groups, 4 + PER − 1 (+1 with accum_pow), lane_c]
                 stream state (rows: dc_x, dc_y, peak_db, gain_db,
                 resample tail[PER−1], then the Σ|y|² accumulator row —
@@ -233,6 +357,54 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
     # miscompiles (opaque 500) when 36 SMEM scalar reads feed the big
     # interleave expression at T≥1008
     taps = tuple(float(v) for v in np.asarray(P, np.float64).reshape(-1))
+
+    if fir is not None:
+        B = fir["B"]
+        audio, st_out = pl.pallas_call(
+            partial(_kernel_fir, T=tile_t, C=lane_c, n_t=n_t, L=L,
+                    PER=PER, taps=taps, ssb=ssb, accum_pow=accum_pow,
+                    B=B, dot3=fir["dot3"]),
+            out_shape=(
+                jax.ShapeDtypeStruct((chunk * L, M), audio_dtype),
+                jax.ShapeDtypeStruct((n_groups * rows, lane_c),
+                                     jnp.float32),
+            ),
+            grid=(n_groups, n_t),
+            in_specs=[
+                pl.BlockSpec((8, 1), lambda c, t: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile_t, 1), lambda c, t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((4 * B, 2 * B), lambda c, t: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, lane_c), lambda c, t: (0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((B, lane_c), lambda c, t: (0, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((rows, lane_c), lambda c, t: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((tile_t * L, lane_c), lambda c, t: (t, c),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((rows, lane_c), lambda c, t: (c, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((rows, lane_c), jnp.float32),
+                pltpu.VMEM((3, B + tile_t, lane_c), jnp.float32),
+                pltpu.VMEM((3, B + tile_t, lane_c), jnp.float32),
+                pltpu.VMEM((tile_t, lane_c), jnp.float32),
+                pltpu.VMEM((tile_t, lane_c), jnp.float32),
+                pltpu.SemaphoreType.DMA((3, 2)),
+            ],
+            interpret=interpret,
+        )(par, ramp, fir["w2"], fir["head_r"], fir["head_i"],
+          fir["x_r"], fir["x_i"], st2d)
+        st_out = st_out.reshape(n_groups, rows, lane_c)[:, :rows_in, :]
+        return audio, st_out
 
     audio, st_out = pl.pallas_call(
         partial(_kernel, T=tile_t, C=lane_c, n_t=n_t, L=L, PER=PER,

@@ -43,9 +43,14 @@ from supersdr_tpu.runtime.chain import (ChainConfig, ChainOutput, ChainParams,
 
 
 def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
-                  iq: cx.CX):
+                  iq: cx.CX, halo_impl: str = "ppermute"):
     """shard_map body. iq: [C_local, N_local] split-complex. cfg.chunk must
-    equal N_local. Returns (per-shard-stacked state, output)."""
+    equal N_local. Returns (per-shard-stacked state, output).
+
+    halo_impl="rdma" exchanges the passband filter history via the
+    Pallas remote-DMA kernel (ops/pallas/halo.py — one neighbor push
+    over ICI, fusable) instead of lax.ppermute; identical semantics,
+    A/B'd on hardware in benchmarks/ab_halo.py."""
     plan = cfg.os_plan
     t_idx = jax.lax.axis_index(TIME_AXIS)
     batch = iq.shape[:-1]
@@ -68,7 +73,16 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
     # 2. passband; history = left neighbor's tail (halo) or the incoming
     #    stream state on shard 0 — same n_taps-1 input-tail state for both
     #    filter implementations
-    halo = scans.left_halo(x, plan.overlap, TIME_AXIS)
+    if halo_impl == "rdma":
+        from supersdr_tpu.ops.pallas import halo as halo_mod
+        interpret = jax.default_backend() not in ("tpu", "axon")
+        hr = halo_mod.left_halo_rdma(jnp.real(x), plan.overlap, TIME_AXIS,
+                                     interpret=interpret)
+        hi = halo_mod.left_halo_rdma(jnp.imag(x), plan.overlap, TIME_AXIS,
+                                     interpret=interpret)
+        halo = jax.lax.complex(hr, hi)
+    else:
+        halo = scans.left_halo(x, plan.overlap, TIME_AXIS)
     head = jnp.where(t_idx == 0, cx.to_complex(state.os_carry), halo)
     if cfg.passband_impl == "matmul":
         _, y_cx = fir_matmul.fir_matmul_stream_c(
@@ -142,7 +156,7 @@ def _sharded_body(cfg: ChainConfig, params: ChainParams, state: ChainState,
                                 baseband=cx.split(y))
 
 
-def build(cfg: ChainConfig, mesh: Mesh):
+def build(cfg: ChainConfig, mesh: Mesh, halo_impl: str = "ppermute"):
     """Compile the sharded chain for `mesh`. cfg.chunk is the *per-device*
     time-shard length. Returns process(params, state, iq) where
       iq    : [n_chan, chunk * n_time_shards]  sharded P(chan, time)
@@ -187,7 +201,7 @@ def build(cfg: ChainConfig, mesh: Mesh):
                             rssi=P(CHAN_AXIS, TIME_AXIS),
                             baseband=cxspec(CHAN_AXIS, TIME_AXIS)))
 
-    body = partial(_sharded_body, cfg)
+    body = partial(_sharded_body, cfg, halo_impl=halo_impl)
     sharded = jax.shard_map(body, mesh=mesh,
                             in_specs=(params_spec, state_spec,
                                       cxspec(CHAN_AXIS, TIME_AXIS)),

@@ -88,16 +88,27 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
             # reshard: [f_local, n_chan] -> [f_local·d, n_chan/d]
             chansT = jax.lax.all_to_all(chansT, AXIS, split_axis=1,
                                         concat_axis=0, tiled=True)
-            carry_T = cx.CX(state.chain.os_carry.re.T,
-                            state.chain.os_carry.im.T)
-            new_carry_T, yT = fir_matmul.fir_matmul_stream_tmajor_c(
-                ccfg.fir_plan, params.chain.W_pass, carry_T,
-                cx.split(chansT),
-                precision=cx.resolve_precision(ccfg.passband_precision))
-            os_carry = cx.CX(new_carry_T.re.T, new_carry_T.im.T)
-            cstate, audioT, rssi = chain_mod.process_tail_tmajor(
-                ccfg, params.chain, state.chain, state.chain.phase, yT,
-                os_carry, audio_dtype=wb._audio_np_dtype(cfg))
+            chansT_cx = cx.split(chansT)
+            ov = ccfg.n_taps - 1
+            os_carry = cx.CX(chansT_cx.re[-ov:].T, chansT_cx.im[-ov:].T)
+            if params.chain.W_tailpass is not None:
+                # passband fused into the tail kernel (serial fast path)
+                cstate, audioT, rssi = chain_mod.process_tail_tmajor(
+                    ccfg, params.chain, state.chain, state.chain.phase,
+                    chansT_cx, os_carry,
+                    audio_dtype=wb._audio_np_dtype(cfg),
+                    fir_x=chansT_cx)
+            else:
+                carry_T = cx.CX(state.chain.os_carry.re.T,
+                                state.chain.os_carry.im.T)
+                _, yT = fir_matmul.fir_matmul_stream_tmajor_c(
+                    ccfg.fir_plan, params.chain.W_pass, carry_T,
+                    chansT_cx,
+                    precision=cx.resolve_precision(
+                        ccfg.passband_precision))
+                cstate, audioT, rssi = chain_mod.process_tail_tmajor(
+                    ccfg, params.chain, state.chain, state.chain.phase,
+                    yT, os_carry, audio_dtype=wb._audio_np_dtype(cfg))
             last = jax.lax.all_gather(pfb_carry, AXIS)[d - 1]
             return (wb.WidebandState(pfb_carry=cx.split(last),
                                      chain=cstate), audioT, rssi)

@@ -198,6 +198,11 @@ class ChainParams(NamedTuple):
     mode_id: jax.Array | None = None  # [*batch] int32 per-slot demod
                                      # select (cfg.mode == "MULTI" only;
                                      # ops/demod.MODE_IDS)
+    W_tailpass: jax.Array | None = None  # [4B, 2B] Toeplitz matrix for
+                                     # the passband FUSED INTO the
+                                     # Pallas tail kernel (time-major
+                                     # wideband path; B =
+                                     # fir_matmul.tail_fir_block)
 
 
 class ChainState(NamedTuple):
@@ -274,12 +279,19 @@ def make_params(cfg: ChainConfig,
                            jnp.asarray(np.sin(-w * ns), jnp.float32))
             rot_out = cx.CX(jnp.asarray(np.cos(w * (ns - c)), jnp.float32),
                             jnp.asarray(np.sin(w * (ns - c)), jnp.float32))
+    W_tailpass = None
+    if cfg.passband_impl == "matmul" and not cfg.is_rational:
+        B = fir_matmul.tail_fir_block(cfg.chunk, cfg.n_taps,
+                                      _tail_tile(cfg.chunk))
+        if B is not None:
+            W_tailpass = jnp.asarray(
+                fir_matmul.build_w_free(B, 1, taps))
     return ChainParams(nco=nco, H_pass=H, P_interp=jnp.asarray(P, jnp.float32),
                        agc=agc_p,
                        squelch=squelch_ops.make_squelch(**(squelch_kwargs or {})),
                        blanker=squelch_ops.make_blanker(**(blanker_kwargs or {})),
                        W_pass=W_pass, rot_in=rot_in, rot_out=rot_out,
-                       W_interp=W_interp)
+                       W_interp=W_interp, W_tailpass=W_tailpass)
 
 
 def init_state(cfg: ChainConfig, batch_shape: tuple[int, ...] = ()
@@ -408,7 +420,8 @@ def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
 
 def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
                         state: ChainState, phase, yT: cx.CX,
-                        os_carry: cx.CX, *, audio_dtype=jnp.float32
+                        os_carry: cx.CX, *, audio_dtype=jnp.float32,
+                        fir_x: cx.CX | None = None
                         ) -> tuple["ChainState", jax.Array, jax.Array]:
     """TIME-MAJOR fused back half: yT [chunk, C] split-complex passband
     (lane-major channels) → (state, audioT [chunk·L, C], rssi [C, 1]).
@@ -419,6 +432,12 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
     never re-read from HBM), and the audio comes back time-major in
     `audio_dtype`. State packing is identical to the channel-major
     path, so chunks chain bit-compatibly across layouts.
+
+    With `fir_x` (the PRE-passband channelizer planes [chunk, C]) and
+    params.W_tailpass present, the Toeplitz passband itself fuses into
+    the kernel (ops/pallas/chain_tail._kernel_fir): yT is ignored, y
+    never exists in HBM, and `os_carry` should carry fir_x's input
+    tail as usual.
 
     Requires n_rows == 1 (os_block == chunk): the in-kernel power
     accumulator yields one RSSI per chunk, the wideband configuration.
@@ -461,11 +480,31 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
         jnp.zeros((G, 1, 128), jnp.float32),     # Σ|y|² accumulator row
     ], axis=1)
     interpret = jax.default_backend() not in ("tpu", "axon")
+    fir = None
+    xr, xi = cpad_lane(yT.re), cpad_lane(yT.im)
+    if fir_x is not None:
+        if params.W_tailpass is None:
+            raise ValueError("fir_x given but params.W_tailpass missing")
+        B = params.W_tailpass.shape[1] // 2
+        ov = cfg.n_taps - 1
+        fxr, fxi = cpad_lane(fir_x.re), cpad_lane(fir_x.im)
+        # tile-0 history head [B, Cp]: zero rows, then the carried
+        # n_taps-1 input tail (state os_carry, channel-major [C, ov])
+        hz = jnp.zeros((B - ov, fxr.shape[-1]), jnp.float32)
+        head_r = jnp.concatenate([hz, cpad_lane(state.os_carry.re.T)],
+                                 axis=0)
+        head_i = jnp.concatenate([hz, cpad_lane(state.os_carry.im.T)],
+                                 axis=0)
+        fir = dict(w2=params.W_tailpass, head_r=head_r, head_i=head_i,
+                   x_r=fxr, x_i=fxi, B=B,
+                   dot3=(cfg.passband_precision != "default"))
+        xr, xi = fxr, fxi
     audioT, st2 = chain_tail.chain_tail_am(
-        cpad_lane(yT.re), cpad_lane(yT.im), st_rows, params_vec,
+        xr, xi, st_rows, params_vec,
         _np.asarray(P), tile_t=_tail_tile(cfg.chunk), L=cfg.upsample,
         ssb=cfg.mode.upper() in ("USB", "LSB", "CW"),
-        interpret=interpret, accum_pow=True, audio_dtype=audio_dtype)
+        interpret=interpret, accum_pow=True, audio_dtype=audio_dtype,
+        fir=fir)
     audioT = audioT[:, :C]
 
     from supersdr_tpu.ops import smeter as smeter_ops

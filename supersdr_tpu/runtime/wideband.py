@@ -297,6 +297,7 @@ def _tmajor_fused_ok(cfg: WidebandConfig) -> bool:
     return (cfg.chan_impl == "mxu2fused" and fac is not None
             and fac[1] % 128 == 0
             and ccfg.passband_impl == "matmul"
+            and ccfg.tail_impl == "pallas"
             and not ccfg.squelch_enabled
             and chain._pallas_tail_ok(ccfg, (cfg.n_chan,)))
 
@@ -342,14 +343,25 @@ def _process_traced_tmajor(cfg: WidebandConfig, params: WidebandParams,
         bf16_mxu=(cfg.chan_precision == "default"),
         tile_t=cfg.chan_tile_t, interpret=not on_tpu, out_layout="time")
 
-    # passband: ride the dot output dim order — carry is stored
-    # channel-major in ChainState (layout-switch compatible); the
-    # [n_taps−1, C] transposes are noise next to the data planes
+    chansT_cx = cx.split(chansT)
+    ov = ccfg.n_taps - 1
+    os_carry = cx.CX(chansT_cx.re[-ov:].T, chansT_cx.im[-ov:].T)
+    if params.chain.W_tailpass is not None:
+        # passband FUSED into the tail kernel: y never touches HBM
+        # (baseband output is therefore unavailable on this path)
+        cstate, audioT, rssi = chain.process_tail_tmajor(
+            ccfg, params.chain, state.chain, state.chain.phase,
+            chansT_cx, os_carry, audio_dtype=_audio_np_dtype(cfg),
+            fir_x=chansT_cx)
+        return (WidebandState(pfb_carry=cx.split(pfb_carry), chain=cstate),
+                chain.ChainOutput(audio=audioT, rssi=rssi, baseband=None))
+
+    # standalone passband: ride the dot output dim order — carry is
+    # stored channel-major in ChainState (layout-switch compatible)
     carry_T = cx.CX(state.chain.os_carry.re.T, state.chain.os_carry.im.T)
     new_carry_T, yT = fir_matmul.fir_matmul_stream_tmajor_c(
-        ccfg.fir_plan, params.chain.W_pass, carry_T, cx.split(chansT),
+        ccfg.fir_plan, params.chain.W_pass, carry_T, chansT_cx,
         precision=cx.resolve_precision(ccfg.passband_precision))
-    os_carry = cx.CX(new_carry_T.re.T, new_carry_T.im.T)
 
     cstate, audioT, rssi = chain.process_tail_tmajor(
         ccfg, params.chain, state.chain, state.chain.phase, yT, os_carry,

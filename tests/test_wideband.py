@@ -128,34 +128,50 @@ def test_pallas_fold_config_matches_gather():
                                np.asarray(out_g.audio), rtol=1e-4, atol=1e-5)
 
 
+def _snr(ref, got):
+    num = np.linalg.norm(ref)
+    den = np.linalg.norm(got - ref)
+    return 20 * np.log10(num / max(den, 1e-30))
+
+
 def test_time_major_fused_equals_chan_major():
     """The zero-transpose time-major path (fused channelizer time-major
-    out → time-major Toeplitz passband → fused tail w/ in-kernel RSSI)
-    is sample-identical to the chan-major fast profile, state-chained
-    over two chunks, including the RSSI row."""
+    out → in-tail Toeplitz passband → fused tail w/ in-kernel RSSI)
+    matches the chan-major fast profile, state-chained over two chunks,
+    including the RSSI row. At precision "high" (dot3) both paths are
+    ~f32 and agree tightly; at "default" both are 1-pass bf16 with
+    different summation order, so the bound is the bf16 noise class."""
     base = dict(fs_in=512 * 12_000, n_chan=512, chunk_in=512 * 512,
                 mode="AM", taps_per=4, n_taps=129)
-    prof = dict(wideband.PROFILES["fast"])
-    prof.pop("time_major", None)
-    prof.pop("audio_dtype", None)
-    cfg_c = wideband.WidebandConfig(**base, **prof)
-    cfg_t = wideband.WidebandConfig(**base, **prof, time_major=True)
-    assert wideband._tmajor_fused_ok(cfg_t)
-    p = wideband.make_params(cfg_c)
-    rng = np.random.default_rng(11)
-    iq = ((rng.normal(size=(2, cfg_c.chunk_in))
-           + 1j * rng.normal(size=(2, cfg_c.chunk_in))) * 0.05
-          ).astype(np.complex64)
-    st_c = wideband.init_state(cfg_c)
-    st_t = wideband.init_state(cfg_t)
-    for k in range(2):
-        st_c, out_c = wideband.process(cfg_c, p, st_c, iq[k])
-        st_t, out_t = wideband.process(cfg_t, p, st_t, iq[k])
-        a_c = np.asarray(out_c.audio)              # [C, T]
-        a_t = np.asarray(out_t.audio).T            # [T, C] -> [C, T]
-        np.testing.assert_allclose(a_t, a_c, rtol=2e-4, atol=1e-6)
-        np.testing.assert_allclose(np.asarray(out_t.rssi),
-                                   np.asarray(out_c.rssi), atol=0.01)
+    for prec, check in (("high", "tight"), ("default", "snr")):
+        prof = dict(wideband.PROFILES["fast"])
+        prof.pop("time_major", None)
+        prof.pop("audio_dtype", None)
+        prof.update(passband_precision=prec, chan_precision=prec)
+        cfg_c = wideband.WidebandConfig(**base, **prof)
+        cfg_t = wideband.WidebandConfig(**base, **prof, time_major=True)
+        assert wideband._tmajor_fused_ok(cfg_t)
+        p = wideband.make_params(cfg_c)
+        assert p.chain.W_tailpass is not None    # FIR-fused tail active
+        rng = np.random.default_rng(11)
+        iq = ((rng.normal(size=(2, cfg_c.chunk_in))
+               + 1j * rng.normal(size=(2, cfg_c.chunk_in))) * 0.05
+              ).astype(np.complex64)
+        st_c = wideband.init_state(cfg_c)
+        st_t = wideband.init_state(cfg_t)
+        for k in range(2):
+            st_c, out_c = wideband.process(cfg_c, p, st_c, iq[k])
+            st_t, out_t = wideband.process(cfg_t, p, st_t, iq[k])
+            a_c = np.asarray(out_c.audio)          # [C, T]
+            a_t = np.asarray(out_t.audio).T        # [T, C] -> [C, T]
+            if check == "tight":
+                np.testing.assert_allclose(a_t, a_c, rtol=2e-3,
+                                           atol=2e-5)
+                assert _snr(a_c, a_t) > 75, _snr(a_c, a_t)
+            else:
+                assert _snr(a_c, a_t) > 45, _snr(a_c, a_t)
+            np.testing.assert_allclose(np.asarray(out_t.rssi),
+                                       np.asarray(out_c.rssi), atol=0.05)
 
 
 def test_time_major_fallback_keeps_contract():
