@@ -44,8 +44,8 @@ VARIANTS = [
     ("xla_mxu2_chan", {"chan_impl": "mxu2", "chan_fold_dtype": "f16"}),
     ("xla_tail", {"tail_impl": "xla"}),
     ("quality_profile", {"passband_precision": "high",
-                         "chan_impl": "mxu2pallas",
-                         "chan_precision": "high"}),
+                         "chan_precision": "high",
+                         "chan_tile_t": 96}),
     ("no_channelizer(stub)", {"chan_impl": "stub"}),
     ("stub+iq", {"chan_impl": "stub", "mode": "IQ",
                  "time_major": False}),

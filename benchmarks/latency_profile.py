@@ -56,11 +56,35 @@ def main():
     def pct(p):
         return round(float(np.percentile(lat, p)), 2)
 
+    # device-time vs transport split (VERDICT r3 #8), by repeated-step
+    # subtraction: K state-chained steps with ONE final fetch pipeline
+    # on the device, so T(K) ≈ transport + K·t_device; the slope over
+    # two K values isolates t_device and the intercept the RPC/transport
+    # share of the single-block latency above.
+    def timed_chain(K, reps=12):
+        best = np.inf
+        for _ in range(reps):
+            st = chain.init_state(cfg)
+            t0 = time.perf_counter()
+            s2 = st
+            for i in range(K):
+                s2, out = chain.process(cfg, params, s2, blocks[i % 8])
+            _ = float(np.asarray(out.audio[:4]).sum())
+            best = min(best, time.perf_counter() - t0)
+        return best * 1e3
+
+    k1, k2 = 8, 64
+    t1, t2 = timed_chain(k1), timed_chain(k2)
+    dev_ms = max((t2 - t1) / (k2 - k1), 0.0)
+    transport_ms = max(t1 - k1 * dev_ms, 0.0)
+
     print(json.dumps({"metric": "block512_dispatch_to_audio_ms",
                       "trials": trials,
                       "p50": pct(50), "p90": pct(90),
                       "p95": pct(95), "p99": pct(99),
-                      "max": round(float(lat[-1]), 2)}))
+                      "max": round(float(lat[-1]), 2),
+                      "device_step_ms_est": round(dev_ms, 3),
+                      "transport_ms_est": round(transport_ms, 2)}))
 
 
 if __name__ == "__main__":

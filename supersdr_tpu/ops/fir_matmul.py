@@ -200,9 +200,14 @@ def tail_fir_block(chunk: int, n_taps: int, tile_t: int) -> int | None:
     divisor of the tail tile that is ≥ n_taps−1 and a multiple of 8
     (n_prev = 1 keeps the window at 2B). None → no fusable block."""
     ov = n_taps - 1
+    if ov < 64:
+        # degenerate blocks make the in-kernel dots tiny and grid-bound
+        # (a B=8 knockout config measured 150× slower than the
+        # standalone passband) — short filters take the XLA path
+        return None
     best = None
     for b in range(8, tile_t + 1, 8):
-        if tile_t % b == 0 and b >= max(ov, 8):
+        if tile_t % b == 0 and b >= ov:
             best = b
             break
     return best

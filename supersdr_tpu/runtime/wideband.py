@@ -22,20 +22,19 @@ from supersdr_tpu.ops import channelizer, cx
 from supersdr_tpu.runtime import chain
 
 
-# On-chip A/B-winning kernel tuning (benchmarks/ab_full.py, measured
-# ladder in docs/PERFORMANCE.md). Both profiles use the fully-fused
-# Pallas channelizer (fold + both DIF FFT stages in one VMEM pass,
-# ops/pallas/channelize_fused.py for "fast") AND the fused chain tail
-# (demod+DC+AGC+resample, ops/pallas/chain_tail.py, both profiles):
-# "fast" = 1.81 Gsps/chip at ~54 dB oracle audio SNR (bf16 matmuls);
-# "quality" = 1.14 Gsps at ~83 dB — it pairs the full-precision Pallas
-# FOLD with the XLA 3-pass DIF FFT, because Mosaic has no multi-pass
-# dot and the fused kernel's in-kernel stage B is bf16-bound (the MID
-# integrity gate caught exactly this: a "quality" fused-channelizer
-# variant read 82.9 dB on the 16-chan gate, which takes the XLA
-# fallback, but only 56.5 dB at the headline's 2560 channels). The
-# kernels need a working Mosaic toolchain and lane-multiple n_chan;
-# other shapes fall back to the XLA paths automatically.
+# On-chip A/B-winning kernel tuning (measured ladder in
+# docs/PERFORMANCE.md). Both profiles run the whole pipeline TIME-MAJOR
+# through the two fused Pallas kernels — the channelizer
+# (ops/pallas/channelize_fused.py: fold + both DIF FFT stages per VMEM
+# tile, kernel-stitched input windows) and the FIR-fused chain tail
+# (ops/pallas/chain_tail.py: Toeplitz passband + demod + DC + AGC +
+# resample, triple-buffered window DMAs, in-kernel RSSI):
+# "fast" = 3662 Msps/chip at ~54 dB oracle audio SNR (1-pass bf16 MXU);
+# "quality" = 2731 Msps at ~82 dB (split-bf16 ×3 in-kernel dots — the
+# precision trick XLA folds away but Mosaic preserves). The kernels
+# need a working Mosaic toolchain and lane-multiple n_chan factors;
+# other shapes fall back to the XLA paths automatically (the SMALL
+# integrity gate exercises exactly that fallback).
 PROFILES = {
     # round 4: "fast" runs the whole pipeline TIME-MAJOR (zero transpose
     # passes between stages, kernel-stitched input windows, in-kernel

@@ -108,3 +108,43 @@ def test_projected_efficiency_with_latency_term():
     t = comm_model.comm_time_ab(n_coll, small["total_bytes"])
     beta_only = small["total_bytes"] / (45.0 * 1e9)
     assert t > 5 * beta_only
+
+
+def test_tmajor_mesh_collectives_and_projection():
+    """The round-4 time-major mesh (fused Pallas kernels per device,
+    collectives between) keeps the Ulysses structure: ONE all-to-all
+    dominating the volume. Projected efficiency at the MEASURED mesh
+    step (11.6 ms/chunk on the bench chip, benchmarks/mesh_step_tpu.py)
+    clears the ≥80 % north star at 8..64 chips."""
+    d = 2
+    cfg = wideband.WidebandConfig(fs_in=512 * 12_000, n_chan=512,
+                                  chunk_in=2 * 512 * 128, mode="AM",
+                                  taps_per=4, n_taps=129,
+                                  **wideband.PROFILES["fast"])
+    m = sharded_wideband.make_mesh(
+        __import__("jax").devices()[:d])
+    proc = sharded_wideband.build(cfg, m)
+    p = wideband.make_params(cfg)
+    iq = cx.as_cx(np.zeros(cfg.chunk_in, np.complex64))
+    txt = comm_model.lower_hlo(_inner_jit(proc), p,
+                               wideband.init_state(cfg), iq)
+    stats = comm_model.collective_bytes_from_hlo(txt)
+    assert stats.counts.get("all-to-all", 0) >= 1
+    model = comm_model.wideband_comm_model(cfg, d)
+    # the reshard stays the dominant volume term on the tmajor mesh too
+    assert model["all_to_all_bytes"] >= 0.5 * model["total_bytes"]
+    # collective COUNT is small and static (the α term stays bounded)
+    assert sum(stats.counts.values()) < 32
+
+    # projection at the headline: measured mesh step 11.6 ms; per-device
+    # all-to-all volume (d-1)/d · chunk_in/d · 8 B
+    head = wideband.WidebandConfig(
+        fs_in=30_720_000, n_chan=2560, chunk_in=2560 * (16384 - 256),
+        mode="AM", taps_per=8, n_taps=257,
+        **wideband.PROFILES["fast"])
+    n_coll = sum(stats.counts.values())
+    for dd in (8, 16, 64):
+        mdl = comm_model.wideband_comm_model(head, dd)
+        eff = comm_model.scaling_efficiency_ab(
+            0.0116, n_coll, mdl["total_bytes"], hops=max(1, dd // 8))
+        assert eff > 0.8, (dd, eff)
