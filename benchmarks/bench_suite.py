@@ -55,27 +55,27 @@ def bench_wideband():
                                   **wideband.PROFILES["fast"])
     params = wideband.make_params(cfg)
     state = wideband.init_state(cfg)
-    n_scan = 2
 
-    # device-generated input: the tunnel moves host buffers at ~1 MB/s
+    # device-generated input: the tunnel moves host buffers at ~1 MB/s;
+    # single-chunk process() stepping = the bench.py headline basis
     @jax.jit
     def gen(key):
         kr, ki = jax.random.split(key)
-        shp = (n_scan, cfg.chunk_in)
+        shp = (cfg.chunk_in,)
         return cx.CX(0.05 * jax.random.normal(kr, shp, jnp.float32),
                      0.05 * jax.random.normal(ki, shp, jnp.float32))
 
     iq = gen(jax.random.PRNGKey(0))
-    st, audio = wideband.process_many(cfg, params, state, iq)
-    _fetch_stat(audio)
+    st, out = wideband.process(cfg, params, state, iq)
+    _fetch_stat(out.audio)
 
-    iters = 10
+    iters = 40
     t0 = time.perf_counter()
     for _ in range(iters):
-        st, audio = wideband.process_many(cfg, params, st, iq)
-    stat = _fetch_stat(audio)
+        st, out = wideband.process(cfg, params, st, iq)
+    stat = _fetch_stat(out.audio)
     dt = (time.perf_counter() - t0) / iters
-    msps = n_scan * cfg.chunk_in / dt / 1e6
+    msps = cfg.chunk_in / dt / 1e6
     return {"metric": "wideband_iq_to_audio_throughput",
             "value": round(msps, 1), "unit": "Msamples/s/chip",
             "vs_baseline": round(msps / 500.0, 2),

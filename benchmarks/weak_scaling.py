@@ -10,6 +10,15 @@ sub-linear* time growth from parallel overheads only — collectives,
 halo exchange, scan summaries — which is exactly the overhead the ≥80 %
 ICI-efficiency claim needs bounded. Prints one JSON line per D.
 
+KNOWN LIMITATION (VERDICT r2/r3): CPU host-core contention is
+indistinguishable from collective overhead here, so this signal is a
+loose upper bound only. The primary multi-chip evidence is now (a) the
+1-real-device mesh step of the SAME fused-kernel program
+(benchmarks/mesh_step_tpu.py — the per-chip tier), (b) HLO collective
+counts/volumes asserted chunk-invariant in tests/test_comm_model.py,
+and (c) the α-β projection built on both. Keep this harness for trend
+smoke only; do not read its ratios as efficiency.
+
 Run: python benchmarks/weak_scaling.py  (self-contained; forces CPU)
 """
 

@@ -219,3 +219,56 @@ def test_audio_dtype_f16_quantizes_only():
     den = np.linalg.norm(a16 - a32)
     snr = 20 * np.log10(num / max(den, 1e-30))
     assert snr > 60, f"f16 audio SNR {snr:.1f} dB"
+
+
+def test_time_major_ssb_matches_plain():
+    """USB through the fused time-major path (in-tail FIR + ssb tail)
+    matches the plain-path implementation at the quality precision
+    tier — the serial form of the bench's MID-SSB gate."""
+    base = dict(fs_in=512 * 12_000, n_chan=512, chunk_in=512 * 512,
+                mode="USB", taps_per=4, n_taps=129)
+    prof = dict(wideband.PROFILES["quality"])
+    cfg_t = wideband.WidebandConfig(**base, **prof)
+    cfg_p = wideband.WidebandConfig(**base)      # plain f32 FFT path
+    assert wideband._tmajor_fused_ok(cfg_t)
+    p_t = wideband.make_params(cfg_t)
+    p_p = wideband.make_params(cfg_p)
+    assert p_t.chain.W_tailpass is not None
+    rng = np.random.default_rng(21)
+    iq = ((rng.normal(size=cfg_t.chunk_in)
+           + 1j * rng.normal(size=cfg_t.chunk_in)) * 0.05
+          ).astype(np.complex64)
+    _, out_t = wideband.process(cfg_t, p_t, wideband.init_state(cfg_t), iq)
+    _, out_p = wideband.process(cfg_p, p_p, wideband.init_state(cfg_p), iq)
+    a_t = np.asarray(out_t.audio).T
+    a_p = np.asarray(out_p.audio)
+    assert _snr(a_p, a_t) > 50, _snr(a_p, a_t)
+
+
+def test_layout_switch_mid_stream():
+    """The SAME WidebandState threads across a time-major chunk followed
+    by a chan-major chunk (and vice versa): state packing is layout-
+    independent, so an impl switch mid-stream stays sample-continuous."""
+    base = dict(fs_in=512 * 12_000, n_chan=512, chunk_in=512 * 512,
+                mode="AM", taps_per=4, n_taps=129)
+    prof = dict(wideband.PROFILES["fast"])
+    prof.pop("time_major", None)
+    prof.update(passband_precision="high", chan_precision="high")
+    cfg_c = wideband.WidebandConfig(**base, **prof)
+    cfg_t = wideband.WidebandConfig(**base, **prof, time_major=True)
+    p = wideband.make_params(cfg_c)
+    rng = np.random.default_rng(23)
+    iq = ((rng.normal(size=(2, cfg_c.chunk_in))
+           + 1j * rng.normal(size=(2, cfg_c.chunk_in))) * 0.05
+          ).astype(np.complex64)
+    # reference: two chan-major chunks
+    st = wideband.init_state(cfg_c)
+    st, _ = wideband.process(cfg_c, p, st, iq[0])
+    _, out_ref = wideband.process(cfg_c, p, st, iq[1])
+    # switched: time-major chunk 0, chan-major chunk 1
+    st = wideband.init_state(cfg_t)
+    st, _ = wideband.process(cfg_t, p, st, iq[0])
+    _, out_sw = wideband.process(cfg_c, p, st, iq[1])
+    a_ref = np.asarray(out_ref.audio)
+    a_sw = np.asarray(out_sw.audio)
+    assert _snr(a_ref, a_sw) > 70, _snr(a_ref, a_sw)
