@@ -18,7 +18,7 @@ Methodology (rounds 1-4 post-mortems, VERDICT.md / docs/PERFORMANCE.md):
       - SMALL (16 chans): cross-backend AND cross-implementation, full
         audio readback, ≥50 dB SNR required.
       - MID (2560 chans, short chunk): exercises the HEADLINE's exact
-        kernel classes — the (20,128) DIF factor tree, the fused
+        kernel classes — the (10,256) DIF factor tree, the fused
         channelizer, the time-major passband/tail — so a
         config-dependent numerical bug in the big shapes fails the gate
         (VERDICT r2 #2; this gate killed two plausible variants in r3).
