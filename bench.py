@@ -142,6 +142,12 @@ def _gate(tuning: dict, base_cfg: dict, n_chunks: int, seed: int,
     if tuning.get("time_major"):
         got = np.swapaxes(got, -1, -2)
     got = got.astype(np.float32)
+    # planar fused path: output row i <-> PFB bin order[i] (the public
+    # channel map, wideband.audio_channel_order); align the bin-ordered
+    # oracle rows before comparing
+    order = wideband.audio_channel_order(cfg)
+    if not np.array_equal(order, np.arange(len(order))):
+        ref = ref[:, order, :]
     snr = _snr_db(ref, got)
     ok = bool(np.isfinite(got).all()) and float(np.abs(got).mean()) > 0 \
         and snr >= 50.0

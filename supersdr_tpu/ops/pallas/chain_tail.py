@@ -226,15 +226,28 @@ def _kernel_fir(par_ref, ramp_ref, w2_ref, pbh_r_ref, pbh_i_ref,
 
     def x_dma(tt, slot):
         """Async copy of x tile `tt` into window slot `slot` rows
-        [B, B+T); descriptors are recreated identically to wait."""
-        d_r = pltpu.make_async_copy(
-            xr_ref.at[pl.ds(pl.multiple_of(tt * T, 8), T),
-                      pl.ds(pl.multiple_of(c * C, 128), C)],
-            win_r.at[slot, pl.ds(B, T), :], sems.at[slot, 0])
-        d_i = pltpu.make_async_copy(
-            xi_ref.at[pl.ds(pl.multiple_of(tt * T, 8), T),
-                      pl.ds(pl.multiple_of(c * C, 128), C)],
-            win_i.at[slot, pl.ds(B, T), :], sems.at[slot, 1])
+        [B, B+T); descriptors are recreated identically to wait.
+
+        2-D src: [chunk, M] time-major planes, m-order lane groups.
+        3-D src (planar coupling): the channelizer's raw [n1, chunk, n2]
+        planes — lane group c covers planar channels c·C..(c+1)·C,
+        i.e. plane k1 = c·C//n2, columns (c·C) mod n2 .. +C."""
+        rows = pl.ds(pl.multiple_of(tt * T, 8), T)
+        if len(xr_ref.shape) == 3:
+            n2 = xr_ref.shape[2]
+            q = n2 // C
+            k1 = c // q
+            o = pl.multiple_of((c % q) * C, 128)
+            src_r = xr_ref.at[k1, rows, pl.ds(o, C)]
+            src_i = xi_ref.at[k1, rows, pl.ds(o, C)]
+        else:
+            lanes = pl.ds(pl.multiple_of(c * C, 128), C)
+            src_r = xr_ref.at[rows, lanes]
+            src_i = xi_ref.at[rows, lanes]
+        d_r = pltpu.make_async_copy(src_r, win_r.at[slot, pl.ds(B, T), :],
+                                    sems.at[slot, 0])
+        d_i = pltpu.make_async_copy(src_i, win_i.at[slot, pl.ds(B, T), :],
+                                    sems.at[slot, 1])
         return d_r, d_i
 
     # TRIPLE-buffered windows: tile t's DMA was started in step t−1;
@@ -335,7 +348,13 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                 gate the quantization on the bench oracle SNR.
     Returns (audioT [chunk·L, n_chan], new_state_rows).
     """
-    chunk, M = yT_r.shape
+    if fir is not None and fir["x_r"].ndim == 3:
+        n1_, chunk, n2_ = fir["x_r"].shape
+        M = n1_ * n2_
+        if n2_ % lane_c:
+            raise ValueError("planar source needs n2 % lane_c == 0")
+    else:
+        chunk, M = yT_r.shape
     if M % lane_c:
         raise ValueError("n_chan must be a multiple of the lane tile")
     if chunk % tile_t:

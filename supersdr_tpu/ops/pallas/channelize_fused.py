@@ -281,6 +281,14 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
     # the same m = k2·n1 + k1 channel index)
     h = plan.history
     new_carry = jax.lax.complex(xs.re[..., -h:], xs.im[..., -h:])
+    if out_layout == "raw3":
+        # zero-copy coupling: hand the raw [n1, nf, n2] planes to a
+        # consumer that DMAs planar channel blocks directly (the
+        # FIR-fused tail) — no transpose pass at all. Requires exact
+        # frame tiling so no pad rows leak into the stream.
+        if n_frames % tile_t:
+            raise ValueError("raw3 needs n_frames % tile_t == 0")
+        return new_carry, (out_r, out_i)
     if out_layout == "time":
         xr = jnp.transpose(out_r[:, :n_frames, :], (1, 2, 0)
                            ).reshape(n_frames, M)

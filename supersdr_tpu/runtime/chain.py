@@ -419,9 +419,11 @@ def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
 
 
 def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
-                        state: ChainState, phase, yT: cx.CX,
+                        state: ChainState, phase, yT: cx.CX | None,
                         os_carry: cx.CX, *, audio_dtype=jnp.float32,
-                        fir_x: cx.CX | None = None
+                        fir_x: cx.CX | None = None,
+                        fir_x3: tuple | None = None,
+                        chan_order: np.ndarray | None = None
                         ) -> tuple["ChainState", jax.Array, jax.Array]:
     """TIME-MAJOR fused back half: yT [chunk, C] split-complex passband
     (lane-major channels) → (state, audioT [chunk·L, C], rssi [C, 1]).
@@ -439,6 +441,14 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
     never exists in HBM, and `os_carry` should carry fir_x's input
     tail as usual.
 
+    With `fir_x3` (the channelizer's RAW (out_r, out_i) [n1, chunk, n2]
+    planes) the coupling is fully zero-copy: the kernel DMAs planar
+    channel blocks straight out of the raw buffer — no transpose pass
+    anywhere. Audio/RSSI rows come back in PLANAR channel order;
+    `chan_order` (planar row → bin index) permutes the per-channel
+    STREAM STATE in/out so ChainState stays bin-ordered and
+    layout-switch compatible.
+
     Requires n_rows == 1 (os_block == chunk): the in-kernel power
     accumulator yields one RSSI per chunk, the wideband configuration.
     """
@@ -448,7 +458,27 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
     if cfg.chunk != cfg.os_block:
         raise ValueError("time-major tail needs os_block == chunk "
                          "(one RSSI row per chunk)")
-    C = yT.shape[-1]
+    if fir_x3 is not None:
+        n1_, _, n2_ = fir_x3[0].shape
+        C = n1_ * n2_
+        if chan_order is None:
+            raise ValueError("fir_x3 needs chan_order")
+        order = np.asarray(chan_order)
+        inv = np.argsort(order)
+
+        def to_planar(v):
+            return v[..., order] if v.ndim == 1 else v[order]
+
+        def to_bin(v):
+            return v[..., inv] if v.ndim == 1 else v[inv]
+    else:
+        C = yT.shape[-1]
+
+        def to_planar(v):
+            return v
+
+        def to_bin(v):
+            return v
     Cp = -(-C // 128) * 128
     G = Cp // 128
     PER = cfg.interp_plan.per
@@ -471,34 +501,43 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
             [a, jnp.zeros((Cp - C,) + a.shape[1:], a.dtype)], axis=0)
 
     st_rows = jnp.concatenate([
-        cpad0(state.demod.dc_x).reshape(G, 1, 128),
-        cpad0(state.demod.dc_y).reshape(G, 1, 128),
-        cpad0(state.agc.peak_db).reshape(G, 1, 128),
-        cpad0(state.agc.gain_db).reshape(G, 1, 128),
-        jnp.swapaxes(cpad0(state.interp_carry).reshape(G, 128, PER - 1),
-                     1, 2),
+        cpad0(to_planar(state.demod.dc_x)).reshape(G, 1, 128),
+        cpad0(to_planar(state.demod.dc_y)).reshape(G, 1, 128),
+        cpad0(to_planar(state.agc.peak_db)).reshape(G, 1, 128),
+        cpad0(to_planar(state.agc.gain_db)).reshape(G, 1, 128),
+        jnp.swapaxes(cpad0(to_planar(state.interp_carry)
+                           ).reshape(G, 128, PER - 1), 1, 2),
         jnp.zeros((G, 1, 128), jnp.float32),     # Σ|y|² accumulator row
     ], axis=1)
     interpret = jax.default_backend() not in ("tpu", "axon")
     fir = None
-    xr, xi = cpad_lane(yT.re), cpad_lane(yT.im)
-    if fir_x is not None:
+    if yT is not None:
+        xr, xi = cpad_lane(yT.re), cpad_lane(yT.im)
+    else:
+        xr = xi = None
+    if fir_x is not None or fir_x3 is not None:
         if params.W_tailpass is None:
             raise ValueError("fir_x given but params.W_tailpass missing")
         B = params.W_tailpass.shape[1] // 2
         ov = cfg.n_taps - 1
-        fxr, fxi = cpad_lane(fir_x.re), cpad_lane(fir_x.im)
+        if fir_x3 is not None:
+            fxr, fxi = fir_x3
+        else:
+            fxr, fxi = cpad_lane(fir_x.re), cpad_lane(fir_x.im)
         # tile-0 history head [B, Cp]: zero rows, then the carried
-        # n_taps-1 input tail (state os_carry, channel-major [C, ov])
-        hz = jnp.zeros((B - ov, fxr.shape[-1]), jnp.float32)
-        head_r = jnp.concatenate([hz, cpad_lane(state.os_carry.re.T)],
-                                 axis=0)
-        head_i = jnp.concatenate([hz, cpad_lane(state.os_carry.im.T)],
-                                 axis=0)
+        # n_taps-1 input tail (state os_carry [C, ov] bin-order —
+        # permuted to the kernel's lane order)
+        hz = jnp.zeros((B - ov, (Cp if fir_x3 is None else C)),
+                       jnp.float32)
+        head_r = jnp.concatenate(
+            [hz, cpad_lane(to_planar(state.os_carry.re).T)], axis=0)
+        head_i = jnp.concatenate(
+            [hz, cpad_lane(to_planar(state.os_carry.im).T)], axis=0)
         fir = dict(w2=params.W_tailpass, head_r=head_r, head_i=head_i,
                    x_r=fxr, x_i=fxi, B=B,
                    dot3=(cfg.passband_precision != "default"))
-        xr, xi = fxr, fxi
+        if fir_x3 is None:
+            xr, xi = fxr, fxi
     audioT, st2 = chain_tail.chain_tail_am(
         xr, xi, st_rows, params_vec,
         _np.asarray(P), tile_t=_tail_tile(cfg.chunk), L=cfg.upsample,
@@ -515,12 +554,12 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
 
     dstate = demod_ops.DemodState(
         last_sample=state.demod.last_sample,
-        dc_x=st2[:, 0, :].reshape(Cp)[:C],
-        dc_y=st2[:, 1, :].reshape(Cp)[:C])
-    astate = agc_ops.AGCState(peak_db=st2[:, 2, :].reshape(Cp)[:C],
-                              gain_db=st2[:, 3, :].reshape(Cp)[:C])
-    icarry = jnp.swapaxes(st2[:, 4:4 + PER - 1, :], 1, 2).reshape(
-        Cp, PER - 1)[:C]
+        dc_x=to_bin(st2[:, 0, :].reshape(Cp)[:C]),
+        dc_y=to_bin(st2[:, 1, :].reshape(Cp)[:C]))
+    astate = agc_ops.AGCState(peak_db=to_bin(st2[:, 2, :].reshape(Cp)[:C]),
+                              gain_db=to_bin(st2[:, 3, :].reshape(Cp)[:C]))
+    icarry = to_bin(jnp.swapaxes(st2[:, 4:4 + PER - 1, :], 1, 2).reshape(
+        Cp, PER - 1)[:C])
     new_state = ChainState(phase=phase, os_carry=os_carry, demod=dstate,
                            agc=astate, interp_carry=icarry,
                            squelch=state.squelch)

@@ -289,6 +289,40 @@ def _audio_np_dtype(cfg: WidebandConfig):
             "bf16": jnp.bfloat16}[cfg.audio_dtype]
 
 
+def _planar_active(cfg: WidebandConfig) -> bool:
+    """True when the zero-transpose PLANAR coupling runs: the fused
+    channelizer's raw [n1, frames, n2] output feeds the tail kernel's
+    window DMAs directly, and audio channels come out in PLANAR order
+    c = k1·n2 + k2 (bin m = k2·n1 + k1) — the per-bin map is
+    `audio_channel_order`. Removing the [n1,·,n2]→[·, M] transpose is
+    worth ~1.5 ms at the bench shape (the last pure-layout pass)."""
+    if not (cfg.time_major and _tmajor_fused_ok(cfg)):
+        return False
+    fac = channelizer._pick_factors(cfg.n_chan)
+    if fac is None or fac[1] % 128:
+        return False
+    if cfg.chunk_per_chan % cfg.chan_tile_t:
+        return False       # raw3 needs exact frame tiling
+    ccfg = cfg.chain_cfg
+    from supersdr_tpu.ops import fir_matmul
+    B = fir_matmul.tail_fir_block(ccfg.chunk, ccfg.n_taps,
+                                  chain._tail_tile(ccfg.chunk))
+    return B is not None
+
+
+def audio_channel_order(cfg: WidebandConfig) -> np.ndarray:
+    """order[i] = PFB bin index of audio/rssi output row i.
+
+    Identity except on the planar fused path, where row c corresponds
+    to bin (c % n2)·n1 + c // n2. `channel_freqs` applies this map, so
+    `channel_freqs(cfg)[i]` is always the frequency of output row i."""
+    if not _planar_active(cfg):
+        return np.arange(cfg.n_chan)
+    n1, n2 = channelizer._pick_factors(cfg.n_chan)
+    c = np.arange(cfg.n_chan)
+    return (c % n2) * n1 + c // n2
+
+
 def _tmajor_fused_ok(cfg: WidebandConfig) -> bool:
     """True when the zero-transpose fused path can serve this config."""
     fac = channelizer._pick_factors(cfg.n_chan)
@@ -334,6 +368,33 @@ def _process_traced_tmajor(cfg: WidebandConfig, params: WidebandParams,
 
     from supersdr_tpu.ops.pallas import channelize_fused
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    ov = ccfg.n_taps - 1
+    if _planar_active(cfg):
+        # FULLY zero-copy coupling: the channelizer's raw [n1, nf, n2]
+        # planes feed the FIR-fused tail's window DMAs directly —
+        # no transpose pass exists anywhere in the pipeline. Audio and
+        # RSSI rows come out in PLANAR channel order (see
+        # `audio_channel_order`; `channel_freqs` is row-aligned).
+        pfb_carry, (raw_r, raw_i) = channelize_fused.channelize_fused_c(
+            plan, params.W_pfb, state.pfb_carry, iq,
+            bf16_mxu=(cfg.chan_precision == "default"),
+            tile_t=cfg.chan_tile_t, interpret=not on_tpu,
+            out_layout="raw3")
+        # os_carry (bin-order [C, ov]): transpose of the TINY raw tail
+        # [n1, ov, n2] → [n2, n1, ov] → [M, ov] (m = k2·n1 + k1)
+        tr = jnp.transpose(raw_r[:, -ov:, :], (2, 0, 1)).reshape(
+            cfg.n_chan, ov)
+        ti = jnp.transpose(raw_i[:, -ov:, :], (2, 0, 1)).reshape(
+            cfg.n_chan, ov)
+        os_carry = cx.CX(tr, ti)
+        cstate, audioT, rssi = chain.process_tail_tmajor(
+            ccfg, params.chain, state.chain, state.chain.phase, None,
+            os_carry, audio_dtype=_audio_np_dtype(cfg),
+            fir_x3=(raw_r, raw_i),
+            chan_order=audio_channel_order(cfg))
+        return (WidebandState(pfb_carry=cx.split(pfb_carry), chain=cstate),
+                chain.ChainOutput(audio=audioT, rssi=rssi, baseband=None))
+
     # CX planes go in directly: the kernel stitches carry/x itself, so
     # no complex materialization, concat or pad pass touches the 660 MB
     # input — the planes reshape zero-copy into the kernel's DMA source
@@ -343,7 +404,6 @@ def _process_traced_tmajor(cfg: WidebandConfig, params: WidebandParams,
         tile_t=cfg.chan_tile_t, interpret=not on_tpu, out_layout="time")
 
     chansT_cx = cx.split(chansT)
-    ov = ccfg.n_taps - 1
     os_carry = cx.CX(chansT_cx.re[-ov:].T, chansT_cx.im[-ov:].T)
     if params.chain.W_tailpass is not None:
         # passband FUSED into the tail kernel: y never touches HBM
@@ -450,6 +510,9 @@ def process_many(cfg: WidebandConfig, params: WidebandParams,
 
 
 def channel_freqs(cfg: WidebandConfig, center_hz: float = 0.0) -> np.ndarray:
-    """Absolute center frequency of each channel given the capture center."""
+    """Absolute center frequency of each OUTPUT ROW given the capture
+    center (row order follows `audio_channel_order` — identity except
+    on the planar fused path)."""
     plan = pfb_plan(cfg)
-    return center_hz + channelizer.channel_center_freqs(plan, cfg.fs_in)
+    freqs = center_hz + channelizer.channel_center_freqs(plan, cfg.fs_in)
+    return freqs[audio_channel_order(cfg)]

@@ -245,15 +245,19 @@ def test_sharded_wideband_runs_pallas_kernels_on_mesh():
           ).astype(np.complex64)
     sstate = wideband.init_state(cfg)
     state = wideband.init_state(cfg)
+    # the serial planar path emits audio rows in planar channel order
+    # (audio_channel_order); the mesh emits bin order (its reshard
+    # materializes the layout anyway) — map when comparing
+    order = wideband.audio_channel_order(cfg)
     for k in range(2):     # two chunks: carried state must thread right
         sstate, audio, rssi = proc(p, sstate, iq[k])
         state, out = wideband.process(cfg, p, state, iq[k])
-        got = np.asarray(audio)
+        got = np.asarray(audio)[:, order]
         want = np.asarray(out.audio)
         assert np.abs(got - want).max() < 1e-4 * max(np.abs(want).max(),
                                                      1e-9)
-        np.testing.assert_allclose(np.asarray(rssi), np.asarray(out.rssi),
-                                   atol=0.01)
+        np.testing.assert_allclose(np.asarray(rssi)[order],
+                                   np.asarray(out.rssi), atol=0.01)
 
 
 def test_pallas_tail_pads_non_lane_batches():

@@ -162,8 +162,11 @@ def test_time_major_fused_equals_chan_major():
         for k in range(2):
             st_c, out_c = wideband.process(cfg_c, p, st_c, iq[k])
             st_t, out_t = wideband.process(cfg_t, p, st_t, iq[k])
-            a_c = np.asarray(out_c.audio)          # [C, T]
+            a_c = np.asarray(out_c.audio)          # [C, T] bin order
+            # planar rows: row i <-> bin order[i] (audio_channel_order)
+            order = wideband.audio_channel_order(cfg_t)
             a_t = np.asarray(out_t.audio).T        # [T, C] -> [C, T]
+            a_c = a_c[order]
             if check == "tight":
                 np.testing.assert_allclose(a_t, a_c, rtol=2e-3,
                                            atol=2e-5)
@@ -171,7 +174,8 @@ def test_time_major_fused_equals_chan_major():
             else:
                 assert _snr(a_c, a_t) > 45, _snr(a_c, a_t)
             np.testing.assert_allclose(np.asarray(out_t.rssi),
-                                       np.asarray(out_c.rssi), atol=0.05)
+                                       np.asarray(out_c.rssi)[order],
+                                       atol=0.05)
 
 
 def test_time_major_fallback_keeps_contract():
@@ -241,7 +245,7 @@ def test_time_major_ssb_matches_plain():
     _, out_t = wideband.process(cfg_t, p_t, wideband.init_state(cfg_t), iq)
     _, out_p = wideband.process(cfg_p, p_p, wideband.init_state(cfg_p), iq)
     a_t = np.asarray(out_t.audio).T
-    a_p = np.asarray(out_p.audio)
+    a_p = np.asarray(out_p.audio)[wideband.audio_channel_order(cfg_t)]
     assert _snr(a_p, a_t) > 50, _snr(a_p, a_t)
 
 
@@ -272,3 +276,32 @@ def test_layout_switch_mid_stream():
     a_ref = np.asarray(out_ref.audio)
     a_sw = np.asarray(out_sw.audio)
     assert _snr(a_ref, a_sw) > 70, _snr(a_ref, a_sw)
+
+
+def test_planar_channel_map_is_row_aligned():
+    """On the planar fused path, a carrier at channel_freqs(cfg)[i] must
+    demodulate into audio ROW i — the channel map the CLI and sinks use
+    is row-aligned by construction."""
+    prof = dict(wideband.PROFILES["fast"])
+    cfg = wideband.WidebandConfig(fs_in=512 * 12_000, n_chan=512,
+                                  chunk_in=512 * 512, mode="AM",
+                                  taps_per=4, n_taps=129, **prof)
+    assert wideband._planar_active(cfg)
+    order = wideband.audio_channel_order(cfg)
+    assert not np.array_equal(order, np.arange(cfg.n_chan))
+    freqs = wideband.channel_freqs(cfg)
+    p = wideband.make_params(cfg)
+    rng = np.random.default_rng(31)
+    rows = [7, 300]
+    t = np.arange(cfg.chunk_in) / cfg.fs_in
+    z = 0.02 * (rng.normal(size=cfg.chunk_in)
+                + 1j * rng.normal(size=cfg.chunk_in))
+    for r in rows:
+        z = z + 0.5 * (1 + 0.5 * np.sin(2 * np.pi * 700 * t)) \
+            * np.exp(2j * np.pi * freqs[r] * t)
+    st = wideband.init_state(cfg)
+    st, out = wideband.process(cfg, p, st, z.astype(np.complex64))
+    st, out = wideband.process(cfg, p, st, z.astype(np.complex64))
+    rssi = np.asarray(out.rssi)[:, -1]
+    top = set(np.argsort(rssi)[::-1][:2])
+    assert top == set(rows), (sorted(top), rows)
