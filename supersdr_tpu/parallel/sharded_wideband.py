@@ -66,6 +66,19 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
     tmajor = (cfg.time_major and wb._tmajor_fused_ok(cfg)
               and chain_mod._pallas_tail_ok(ccfg, (cfg.n_chan // d,))
               and f_local % 8 == 0)
+    # PLANAR mesh form (the serial zero-transpose coupling, per shard):
+    # available when d divides the DIF n1 factor — then the all_to_all
+    # rides the raw [n1, f_local, n2] buffer's k1-plane axis and each
+    # device ends with planar-CONTIGUOUS channel planes. d ∤ n1 falls
+    # back to the time-major 2-D form (one transpose to build the
+    # resharding layout — ~3.5 ms at the bench shape). The mesh's state
+    # is re-ordered planar at the jit boundary (tiny [n_chan] gathers)
+    # so the public state contract stays bin-ordered.
+    fac = channelizer._pick_factors(cfg.n_chan)
+    planar = (tmajor and wb._planar_active(cfg)
+              and fac is not None and fac[0] % d == 0
+              and f_local % cfg.chan_tile_t == 0)
+    order = wb.audio_channel_order(cfg)       # planar row -> bin
 
     def body(params: wb.WidebandParams, state: wb.WidebandState,
              iq: cx.CX):
@@ -75,6 +88,37 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
         halo = scans.left_context(iqc, plan.history, AXIS)
         head = jnp.where(idx == 0, cx.to_complex(state.pfb_carry), halo)
         pfb_carry = iqc[..., -plan.history:]
+
+        if planar:
+            from supersdr_tpu.ops.pallas import channelize_fused
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            ov = ccfg.n_taps - 1
+            _, (raw_r, raw_i) = channelize_fused.channelize_fused_c(
+                plan, params.W_pfb, head, iqc,
+                bf16_mxu=(cfg.chan_precision == "default"),
+                tile_t=cfg.chan_tile_t, interpret=not on_tpu,
+                out_layout="raw3")
+            # reshard over the k1-plane axis: [n1, f_local, n2] ->
+            # [n1/d, f_local·d, n2] — per-device planar channel planes
+            raw_r = jax.lax.all_to_all(raw_r, AXIS, split_axis=0,
+                                       concat_axis=1, tiled=True)
+            raw_i = jax.lax.all_to_all(raw_i, AXIS, split_axis=0,
+                                       concat_axis=1, tiled=True)
+            c_loc = raw_r.shape[0] * raw_r.shape[2]
+            # local state is already planar-ordered (jit-boundary
+            # permute below) — identity map per shard
+            tr = jnp.transpose(raw_r[:, -ov:, :], (0, 2, 1)).reshape(
+                c_loc, ov)
+            ti = jnp.transpose(raw_i[:, -ov:, :], (0, 2, 1)).reshape(
+                c_loc, ov)
+            os_carry = cx.CX(tr, ti)
+            cstate, audioT, rssi = chain_mod.process_tail_tmajor(
+                ccfg, params.chain, state.chain, state.chain.phase,
+                None, os_carry, audio_dtype=wb._audio_np_dtype(cfg),
+                fir_x3=(raw_r, raw_i), chan_order=np.arange(c_loc))
+            last = jax.lax.all_gather(pfb_carry, AXIS)[d - 1]
+            return (wb.WidebandState(pfb_carry=cx.split(last),
+                                     chain=cstate), audioT, rssi)
 
         if tmajor:
             from supersdr_tpu.ops import fir_matmul
@@ -156,7 +200,25 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
     sharded = jax.shard_map(body, mesh=mesh,
                             in_specs=(params_spec, state_spec, cxspec(AXIS)),
                             out_specs=out_spec, check_vma=False)
-    jitted = jax.jit(sharded)
+    if planar:
+        # the planar mesh keeps its per-channel stream state in PLANAR
+        # order internally (so each device's state block aligns with
+        # its k1-plane channels); the public state contract stays
+        # bin-ordered via tiny [n_chan] boundary gathers inside jit
+        perm = jnp.asarray(order)
+        inv = jnp.asarray(np.argsort(order))
+
+        def _permuted(params, state, iq):
+            st = state._replace(
+                chain=jax.tree.map(lambda v: v[perm], state.chain))
+            st2, audio, rssi = sharded(params, st, iq)
+            st2 = st2._replace(
+                chain=jax.tree.map(lambda v: v[inv], st2.chain))
+            return st2, audio, rssi
+
+        jitted = jax.jit(_permuted)
+    else:
+        jitted = jax.jit(sharded)
     state_shardings = jax.tree.map(lambda p: NamedSharding(mesh, p),
                                    state_spec,
                                    is_leaf=lambda x: isinstance(x, P))
@@ -168,6 +230,11 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
         state = jax.device_put(state, state_shardings)
         return jitted(params, state, cx.as_cx(iq))
 
+    # audio/rssi row -> PFB bin map for THIS process fn: the planar
+    # mesh matches the serial `wideband.audio_channel_order`; other
+    # tiers emit bin order
+    process.channel_order = (order if planar
+                             else np.arange(cfg.n_chan))
     return process
 
 

@@ -245,19 +245,24 @@ def test_sharded_wideband_runs_pallas_kernels_on_mesh():
           ).astype(np.complex64)
     sstate = wideband.init_state(cfg)
     state = wideband.init_state(cfg)
-    # the serial planar path emits audio rows in planar channel order
-    # (audio_channel_order); the mesh emits bin order (its reshard
-    # materializes the layout anyway) — map when comparing
-    order = wideband.audio_channel_order(cfg)
+    # row -> bin maps: proc.channel_order for the mesh (planar when
+    # d | n1, bin otherwise), audio_channel_order for the serial path
+    mo = proc.channel_order
+    so = wideband.audio_channel_order(cfg)
+    # this config is planar on both sides (d=2 divides n1)
+    assert np.array_equal(mo, so)
+    minv = np.argsort(mo)
+    sinv = np.argsort(so)
     for k in range(2):     # two chunks: carried state must thread right
         sstate, audio, rssi = proc(p, sstate, iq[k])
         state, out = wideband.process(cfg, p, state, iq[k])
-        got = np.asarray(audio)[:, order]
-        want = np.asarray(out.audio)
+        got = np.asarray(audio)[:, minv]        # -> bin order
+        want = np.asarray(out.audio)[:, sinv]   # -> bin order
         assert np.abs(got - want).max() < 1e-4 * max(np.abs(want).max(),
                                                      1e-9)
-        np.testing.assert_allclose(np.asarray(rssi)[order],
-                                   np.asarray(out.rssi), atol=0.01)
+        np.testing.assert_allclose(np.asarray(rssi)[minv][:, 0],
+                                   np.asarray(out.rssi)[:, 0][sinv],
+                                   atol=0.01)
 
 
 def test_pallas_tail_pads_non_lane_batches():
