@@ -279,8 +279,8 @@ def _kernel_fir(par_ref, ramp_ref, w2_ref, pbh_r_ref, pbh_i_ref,
     # else the previous slot's x-tile tail
     @pl.when(t == 0)
     def _():
-        win_r[slot, 0:B, :] = pbh_r_ref[:, :]
-        win_i[slot, 0:B, :] = pbh_i_ref[:, :]
+        win_r[slot, 0:B, :] = pbh_r_ref[:, :].astype(win_r.dtype)
+        win_i[slot, 0:B, :] = pbh_i_ref[:, :].astype(win_i.dtype)
 
     @pl.when(t > 0)
     def _():
@@ -299,10 +299,12 @@ def _kernel_fir(par_ref, ramp_ref, w2_ref, pbh_r_ref, pbh_i_ref,
         if dot3:
             # ~f32: manual split-bf16 ×3 (see channelize_fused stage B —
             # Mosaic's MXU rounds f32 operands to bf16, and nothing
-            # folds the convert round-trip away, so the split holds)
+            # folds the convert round-trip away, so the split holds).
+            # Requires f32 windows (a bf16 source has no lo plane).
             def split(v):
                 hi = v.astype(jnp.bfloat16)
-                lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                lo = (v.astype(jnp.float32)
+                      - hi.astype(jnp.float32)).astype(jnp.bfloat16)
                 return hi, lo
 
             wh, wl = split(w2)
@@ -413,8 +415,8 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
             ),
             scratch_shapes=[
                 pltpu.VMEM((rows, lane_c), jnp.float32),
-                pltpu.VMEM((3, B + tile_t, lane_c), jnp.float32),
-                pltpu.VMEM((3, B + tile_t, lane_c), jnp.float32),
+                pltpu.VMEM((3, B + tile_t, lane_c), fir["x_r"].dtype),
+                pltpu.VMEM((3, B + tile_t, lane_c), fir["x_r"].dtype),
                 pltpu.VMEM((tile_t, lane_c), jnp.float32),
                 pltpu.VMEM((tile_t, lane_c), jnp.float32),
                 pltpu.SemaphoreType.DMA((3, 2)),

@@ -170,14 +170,15 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
         xr2 = dot3(y2r, c2r) - dot3(y2i, c2i)              # [n1·T, n2]
         xi2 = dot3(y2r, c2i) + dot3(y2i, c2r)
     # reshape splits only the SUBLANE dim (n1·T → n1, T): Mosaic-legal
-    out_r[:] = xr2.reshape(n1, T, n2)
-    out_i[:] = xi2.reshape(n1, T, n2)
+    out_r[:] = xr2.reshape(n1, T, n2).astype(out_r.dtype)
+    out_i[:] = xi2.reshape(n1, T, n2).astype(out_i.dtype)
 
 
 def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
                        carry: jax.Array, x: jax.Array, *,
                        tile_t: int = 128, bf16_mxu: bool = True,
-                       interpret: bool = False, out_layout: str = "chan"
+                       interpret: bool = False, out_layout: str = "chan",
+                       out_dtype=jnp.float32
                        ) -> tuple[jax.Array, jax.Array]:
     """Fused channelizer step (traced contexts, critical sampling).
 
@@ -235,8 +236,8 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
         partial(_kernel, K=K, T=tile_t, n1=n1, n2=n2,
                 bf16_mxu=bf16_mxu, n_tiles=n_tiles, n_frames=n_frames),
         out_shape=(
-            jax.ShapeDtypeStruct((n1, n_tiles * tile_t, n2), jnp.float32),
-            jax.ShapeDtypeStruct((n1, n_tiles * tile_t, n2), jnp.float32),
+            jax.ShapeDtypeStruct((n1, n_tiles * tile_t, n2), out_dtype),
+            jax.ShapeDtypeStruct((n1, n_tiles * tile_t, n2), out_dtype),
         ),
         grid=(n_tiles,),
         in_specs=[
@@ -281,6 +282,8 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
     # the same m = k2·n1 + k1 channel index)
     h = plan.history
     new_carry = jax.lax.complex(xs.re[..., -h:], xs.im[..., -h:])
+    if out_layout != "raw3" and out_dtype != jnp.float32:
+        raise ValueError("out_dtype != f32 is only for the raw3 coupling")
     if out_layout == "raw3":
         # zero-copy coupling: hand the raw [n1, nf, n2] planes to a
         # consumer that DMAs planar channel blocks directly (the

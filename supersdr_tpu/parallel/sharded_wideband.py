@@ -93,11 +93,15 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
             from supersdr_tpu.ops.pallas import channelize_fused
             on_tpu = jax.default_backend() in ("tpu", "axon")
             ov = ccfg.n_taps - 1
+            raw_dtype = (jnp.bfloat16
+                         if (cfg.chan_precision == "default"
+                             and cfg.passband_precision == "default")
+                         else jnp.float32)
             _, (raw_r, raw_i) = channelize_fused.channelize_fused_c(
                 plan, params.W_pfb, head, iqc,
                 bf16_mxu=(cfg.chan_precision == "default"),
                 tile_t=cfg.chan_tile_t, interpret=not on_tpu,
-                out_layout="raw3")
+                out_layout="raw3", out_dtype=raw_dtype)
             # reshard over the k1-plane axis: [n1, f_local, n2] ->
             # [n1/d, f_local·d, n2] — per-device planar channel planes
             raw_r = jax.lax.all_to_all(raw_r, AXIS, split_axis=0,
@@ -108,9 +112,9 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
             # local state is already planar-ordered (jit-boundary
             # permute below) — identity map per shard
             tr = jnp.transpose(raw_r[:, -ov:, :], (0, 2, 1)).reshape(
-                c_loc, ov)
+                c_loc, ov).astype(jnp.float32)
             ti = jnp.transpose(raw_i[:, -ov:, :], (0, 2, 1)).reshape(
-                c_loc, ov)
+                c_loc, ov).astype(jnp.float32)
             os_carry = cx.CX(tr, ti)
             cstate, audioT, rssi = chain_mod.process_tail_tmajor(
                 ccfg, params.chain, state.chain, state.chain.phase,

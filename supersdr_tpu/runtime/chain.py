@@ -526,13 +526,16 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
             fxr, fxi = cpad_lane(fir_x.re), cpad_lane(fir_x.im)
         # tile-0 history head [B, Cp]: zero rows, then the carried
         # n_taps-1 input tail (state os_carry [C, ov] bin-order —
-        # permuted to the kernel's lane order)
-        hz = jnp.zeros((B - ov, (Cp if fir_x3 is None else C)),
-                       jnp.float32)
+        # permuted to the kernel's lane order). Head dtype follows the
+        # source planes (bf16 raw3 coupling on the fast profile).
+        hd = fxr.dtype
+        hz = jnp.zeros((B - ov, (Cp if fir_x3 is None else C)), hd)
         head_r = jnp.concatenate(
-            [hz, cpad_lane(to_planar(state.os_carry.re).T)], axis=0)
+            [hz, cpad_lane(to_planar(state.os_carry.re).T).astype(hd)],
+            axis=0)
         head_i = jnp.concatenate(
-            [hz, cpad_lane(to_planar(state.os_carry.im).T)], axis=0)
+            [hz, cpad_lane(to_planar(state.os_carry.im).T).astype(hd)],
+            axis=0)
         fir = dict(w2=params.W_tailpass, head_r=head_r, head_i=head_i,
                    x_r=fxr, x_i=fxi, B=B,
                    dot3=(cfg.passband_precision != "default"))

@@ -375,17 +375,25 @@ def _process_traced_tmajor(cfg: WidebandConfig, params: WidebandParams,
         # no transpose pass exists anywhere in the pipeline. Audio and
         # RSSI rows come out in PLANAR channel order (see
         # `audio_channel_order`; `channel_freqs` is row-aligned).
+        # fast profile: the coupling buffer stores bf16 — stage B is
+        # already bf16-rounded there, and the FIR dot casts its windows
+        # to bf16 anyway, so the half-width round-trip is precision-free
+        # (quality's dot3 needs the f32 planes); gated on the oracle SNR
+        raw_dtype = (jnp.bfloat16
+                     if (cfg.chan_precision == "default"
+                         and cfg.passband_precision == "default")
+                     else jnp.float32)
         pfb_carry, (raw_r, raw_i) = channelize_fused.channelize_fused_c(
             plan, params.W_pfb, state.pfb_carry, iq,
             bf16_mxu=(cfg.chan_precision == "default"),
             tile_t=cfg.chan_tile_t, interpret=not on_tpu,
-            out_layout="raw3")
+            out_layout="raw3", out_dtype=raw_dtype)
         # os_carry (bin-order [C, ov]): transpose of the TINY raw tail
         # [n1, ov, n2] → [n2, n1, ov] → [M, ov] (m = k2·n1 + k1)
         tr = jnp.transpose(raw_r[:, -ov:, :], (2, 0, 1)).reshape(
-            cfg.n_chan, ov)
+            cfg.n_chan, ov).astype(jnp.float32)
         ti = jnp.transpose(raw_i[:, -ov:, :], (2, 0, 1)).reshape(
-            cfg.n_chan, ov)
+            cfg.n_chan, ov).astype(jnp.float32)
         os_carry = cx.CX(tr, ti)
         cstate, audioT, rssi = chain.process_tail_tmajor(
             ccfg, params.chain, state.chain, state.chain.phase, None,
