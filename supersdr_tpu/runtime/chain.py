@@ -282,7 +282,7 @@ def make_params(cfg: ChainConfig,
     W_tailpass = None
     if cfg.passband_impl == "matmul" and not cfg.is_rational:
         B = fir_matmul.tail_fir_block(cfg.chunk, cfg.n_taps,
-                                      _tail_tile(cfg.chunk))
+                                      _tail_tile(cfg.chunk, cfg.n_taps))
         if B is not None:
             W_tailpass = jnp.asarray(
                 fir_matmul.build_w_free(B, 1, taps))
@@ -312,14 +312,24 @@ def init_state(cfg: ChainConfig, batch_shape: tuple[int, ...] = ()
     )
 
 
-def _tail_tile(chunk: int) -> int:
-    """Largest chunk divisor ≤ 1008 that is a multiple of 8 (Mosaic
-    miscompiles the fused tail above ~1008 sublanes)."""
-    best = 0
-    for t in range(8, 1009, 8):
-        if chunk % t == 0:
-            best = t
-    return best
+def _tail_tile(chunk: int, n_taps: int | None = None) -> int:
+    """Chunk divisor ≤ 1008, multiple of 8 (Mosaic miscompiles the fused
+    tail above ~1008 sublanes). With `n_taps`, prefer the tile whose
+    minimal in-tail FIR block B is smallest (FIR FLOPs scale with B:
+    the T=768/B=256 pairing measured 7.25 ms vs 7.55 for T=1008/B=336
+    at the bench shape), breaking ties toward the larger tile."""
+    cands = [t for t in range(8, 1009, 8) if chunk % t == 0]
+    if not cands:
+        return 0
+    if n_taps is None:
+        return cands[-1]
+    best = None
+    for t in cands:
+        b = fir_matmul.tail_fir_block(chunk, n_taps, t)
+        key = (b if b is not None else 1 << 30, -t)
+        if best is None or key < best[0]:
+            best = (key, t)
+    return best[1]
 
 
 def _pallas_tail_ok(cfg: ChainConfig, batch: tuple) -> bool:
@@ -331,7 +341,7 @@ def _pallas_tail_ok(cfg: ChainConfig, batch: tuple) -> bool:
             and not cfg.is_rational
             and not cfg.hang_enabled and cfg.agc_decimation == 1
             and len(batch) == 1 and batch[0] >= 128
-            and _tail_tile(cfg.chunk) >= 8)
+            and _tail_tile(cfg.chunk, cfg.n_taps) >= 8)
 
 
 def _tail_params_vec(params: ChainParams) -> jax.Array:
@@ -387,7 +397,7 @@ def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
     interpret = jax.default_backend() not in ("tpu", "axon")
     audioT, st2 = chain_tail.chain_tail_am(
         yTr, yTi, st_rows, params_vec,
-        _np.asarray(P), tile_t=_tail_tile(cfg.chunk), L=cfg.upsample,
+        _np.asarray(P), tile_t=_tail_tile(cfg.chunk, cfg.n_taps), L=cfg.upsample,
         ssb=cfg.mode.upper() in ("USB", "LSB", "CW"),
         interpret=interpret)
     audio = audioT.T[:C]                              # [C, chunk·L]
@@ -543,7 +553,7 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
             xr, xi = fxr, fxi
     audioT, st2 = chain_tail.chain_tail_am(
         xr, xi, st_rows, params_vec,
-        _np.asarray(P), tile_t=_tail_tile(cfg.chunk), L=cfg.upsample,
+        _np.asarray(P), tile_t=_tail_tile(cfg.chunk, cfg.n_taps), L=cfg.upsample,
         ssb=cfg.mode.upper() in ("USB", "LSB", "CW"),
         interpret=interpret, accum_pow=True, audio_dtype=audio_dtype,
         fir=fir)

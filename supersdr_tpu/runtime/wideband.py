@@ -306,7 +306,8 @@ def _planar_active(cfg: WidebandConfig) -> bool:
     ccfg = cfg.chain_cfg
     from supersdr_tpu.ops import fir_matmul
     B = fir_matmul.tail_fir_block(ccfg.chunk, ccfg.n_taps,
-                                  chain._tail_tile(ccfg.chunk))
+                                  chain._tail_tile(ccfg.chunk,
+                                                   ccfg.n_taps))
     return B is not None
 
 
