@@ -254,7 +254,7 @@ def measure(tuning: dict) -> dict:
                                "oracle-checked mid config"}
 
     msps = samples_per_step * iters / dt / 1e6
-    return {
+    out = {
         "value": round(msps, 2),
         "step_ms": round(dt / iters * 1e3, 2),
         "elapsed_s": round(dt, 3),
@@ -263,6 +263,48 @@ def measure(tuning: dict) -> dict:
         "audio_mean_abs_headline_prefix": round(prefix, 6),
         **checks,
     }
+    # INT16 ingest variant (the 16-bit ADC / KiwiSDR IQ wire format —
+    # /root/reference/kiwi/client.py:443-454 carries IQ as s16): halves
+    # the input HBM read via in-kernel dequantize. Validated on-device
+    # against the dequantized-f32 pipeline on this config before timing.
+    if N_SCAN == 1 and tuning.get("time_major"):
+        try:
+            @jax.jit
+            def gen16(key):
+                kr, ki = jax.random.split(key)
+                shp = (cfg.chunk_in,)
+                return (
+                    (0.05 * jax.random.normal(kr, shp, jnp.float32)
+                     * 32768.0).astype(jnp.int16),
+                    (0.05 * jax.random.normal(ki, shp, jnp.float32)
+                     * 32768.0).astype(jnp.int16))
+
+            iq16 = gen16(jax.random.PRNGKey(1))
+            deq = cx.CX(iq16[0].astype(jnp.float32) / 32768.0,
+                        iq16[1].astype(jnp.float32) / 32768.0)
+            st16, o16 = wideband.process_i16(cfg, params, state, iq16)
+            stf, of = wideband.process(cfg, params, state, deq)
+            a16 = o16.audio.astype(jnp.float32)
+            af = of.audio.astype(jnp.float32)
+            num = float(jnp.linalg.norm(af))
+            den = float(jnp.linalg.norm(a16 - af))
+            i16_snr = 20.0 * np.log10(max(num, 1e-30) / max(den, 1e-30))
+            assert i16_snr > 80.0, f"i16 path diverges: {i16_snr:.1f} dB"
+            it16 = max(iters // 2, 8)
+            t0 = time.perf_counter()
+            s16 = st16
+            for _ in range(it16):
+                s16, o16 = wideband.process_i16(cfg, params, s16, iq16)
+            stat16 = fetch_stat(o16.audio)
+            dt16 = time.perf_counter() - t0
+            assert np.isfinite(stat16) and stat16 > 0
+            out["i16_ingest"] = {
+                "value": round(cfg.chunk_in * it16 / dt16 / 1e6, 2),
+                "step_ms": round(dt16 / it16 * 1e3, 2),
+                "vs_f32_snr_db": round(i16_snr, 1)}
+        except Exception as e:    # the secondary must not kill the artifact
+            out["i16_ingest"] = {"error": f"{type(e).__name__}: {e}"}
+    return out
 
 
 def main():

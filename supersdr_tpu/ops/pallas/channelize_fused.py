@@ -47,14 +47,20 @@ def _round_up8(n: int) -> int:
 def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
             head_i_ref, re_ref, im_ref,
             out_r, out_i, scr_re, scr_im, fold_r, fold_i, y_r, y_i,
-            sems, *, K: int, T: int, n1: int, n2: int,
-            bf16_mxu: bool, n_tiles: int, n_frames: int):
+            *rest, K: int, T: int, n1: int, n2: int,
+            bf16_mxu: bool, n_tiles: int, n_frames: int,
+            in_scale: float = 0.0):
     """Input comes as the RAW [n_frames, M] planes plus an 8-row "head"
     holding the K−1 carry rows (zero-padded on top): the kernel stitches
     the virtual [carry | x | zero-pad] segment itself per tile, so the
     caller never materializes a padded/concatenated copy of the input —
     at the bench shape that concat+pad cost ~1.6 ms of pure HBM traffic
-    (the pipeline's largest read)."""
+    (the pipeline's largest read).
+
+    in_scale > 0: the input planes are int16 (e.g. a 16-bit ADC / the
+    KiwiSDR IQ wire format); window DMAs land in an i16 staging buffer
+    (rest = s16_r, s16_i, sems) and convert to f32·in_scale in VMEM —
+    the HBM input read is halved. Carry head and all math stay f32."""
     i = pl.program_id(0)
     hk = K - 1
     off = 8 - hk          # virtual segment row v lives at scr row v+off
@@ -63,10 +69,34 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
                           # 8-aligned, which Mosaic's memref slicing
                           # requires; sub-8 VECTOR reads/writes are fine)
 
+    i16 = in_scale > 0
+    if i16:
+        s16_r, s16_i, sems = rest
+    else:
+        (sems,) = rest
+
     def dma(src_start, dst_start, length):
         # Mosaic's divisibility analysis can't prove i·T − 8 ≡ 0 (mod 8)
         # through the affine expression — annotate it
         src = pl.ds(pl.multiple_of(src_start, 8), length)
+        if i16:
+            d_re = pltpu.make_async_copy(
+                re_ref.at[src, :],
+                s16_r.at[pl.ds(dst_start, length), :], sems.at[0])
+            d_im = pltpu.make_async_copy(
+                im_ref.at[src, :],
+                s16_i.at[pl.ds(dst_start, length), :], sems.at[1])
+            d_re.start()
+            d_im.start()
+            d_re.wait()
+            d_im.wait()
+            scr_re[dst_start:dst_start + length, :] = \
+                s16_r[dst_start:dst_start + length, :].astype(
+                    jnp.float32) * in_scale
+            scr_im[dst_start:dst_start + length, :] = \
+                s16_i[dst_start:dst_start + length, :].astype(
+                    jnp.float32) * in_scale
+            return
         d_re = pltpu.make_async_copy(
             re_ref.at[src, :],
             scr_re.at[pl.ds(dst_start, length), :], sems.at[0])
@@ -195,7 +225,13 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
     layouts).
     """
     from supersdr_tpu.ops import cx as cx_mod
-    xs = cx_mod.as_cx(x) if not isinstance(x, cx_mod.CX) else x
+    i16_in = (isinstance(x, tuple)
+              and not isinstance(x, cx.CX))   # (re_i16, im_i16) planes
+    if i16_in:
+        xs = None
+        re16, im16 = x
+    else:
+        xs = cx_mod.as_cx(x) if not isinstance(x, cx_mod.CX) else x
     cs = cx_mod.as_cx(carry) if not isinstance(carry, cx_mod.CX) else carry
 
     M, K = plan.n_chan, plan.taps_per
@@ -206,7 +242,7 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
         raise ValueError("fused channelizer needs n_chan with a "
                          "lane-multiple factor (n2 % 128 == 0)")
     n1, n2 = fac
-    n = xs.shape[-1]
+    n = (re16 if i16_in else xs.re).shape[-1]
     n_frames = n // M
     Ar, Ai, c2r, c2i = channelizer._dif_tables(M, n1, n2)
     # At2[(j1·n1 + k1), j2] = A[j2, k1, j1]
@@ -222,8 +258,14 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
                          "(8-aligned window DMAs)")
     # raw input planes, zero-copy [n_frames, M] views — the kernel
     # stitches carry/x/pad itself (no concat, no pad pass)
-    re = xs.re.reshape(n_frames, M)
-    im = xs.im.reshape(n_frames, M)
+    in_scale = 0.0
+    if i16_in:
+        in_scale = 1.0 / 32768.0
+        re = re16.reshape(n_frames, M)
+        im = im16.reshape(n_frames, M)
+    else:
+        re = xs.re.reshape(n_frames, M)
+        im = xs.im.reshape(n_frames, M)
     # 8-row head: zeros on top, the K−1 carry rows at the bottom
     head_r = jnp.concatenate(
         [jnp.zeros((8 - (K - 1), M), jnp.float32),
@@ -234,7 +276,8 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
 
     out_r, out_i = pl.pallas_call(
         partial(_kernel, K=K, T=tile_t, n1=n1, n2=n2,
-                bf16_mxu=bf16_mxu, n_tiles=n_tiles, n_frames=n_frames),
+                bf16_mxu=bf16_mxu, n_tiles=n_tiles, n_frames=n_frames,
+                in_scale=in_scale),
         out_shape=(
             jax.ShapeDtypeStruct((n1, n_tiles * tile_t, n2), out_dtype),
             jax.ShapeDtypeStruct((n1, n_tiles * tile_t, n2), out_dtype),
@@ -270,8 +313,9 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
             pltpu.VMEM((tile_t, M), jnp.float32),
             pltpu.VMEM((n1 * tile_t, n2), jnp.float32),
             pltpu.VMEM((n1 * tile_t, n2), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ] + ([pltpu.VMEM((8 + tile_t, M), jnp.int16),
+              pltpu.VMEM((8 + tile_t, M), jnp.int16)] if i16_in else [])
+        + [pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(g2.astype(jnp.float32), At_r, At_i, jnp.asarray(c2r),
       jnp.asarray(c2i), head_r, head_i, re, im)
@@ -281,7 +325,12 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
     # time-major [nf, m] ("time" — reshape of [nf, n2, n1] flattens to
     # the same m = k2·n1 + k1 channel index)
     h = plan.history
-    new_carry = jax.lax.complex(xs.re[..., -h:], xs.im[..., -h:])
+    if i16_in:
+        new_carry = jax.lax.complex(
+            re16[..., -h:].astype(jnp.float32) * in_scale,
+            im16[..., -h:].astype(jnp.float32) * in_scale)
+    else:
+        new_carry = jax.lax.complex(xs.re[..., -h:], xs.im[..., -h:])
     if out_layout != "raw3" and out_dtype != jnp.float32:
         raise ValueError("out_dtype != f32 is only for the raw3 coupling")
     if out_layout == "raw3":

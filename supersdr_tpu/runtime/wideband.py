@@ -336,8 +336,22 @@ def _tmajor_fused_ok(cfg: WidebandConfig) -> bool:
             and chain._pallas_tail_ok(ccfg, (cfg.n_chan,)))
 
 
+def _is_i16_pair(iq) -> bool:
+    return (isinstance(iq, tuple) and not isinstance(iq, cx.CX)
+            and len(iq) == 2)
+
+
+def _as_f32_cx(iq) -> cx.CX:
+    """CX passthrough; plain (re_i16, im_i16) tuples dequantize to
+    f32 (CX is itself a NamedTuple — check it first)."""
+    if _is_i16_pair(iq):
+        return cx.CX(iq[0].astype(jnp.float32) * (1.0 / 32768.0),
+                     iq[1].astype(jnp.float32) * (1.0 / 32768.0))
+    return iq
+
+
 def _process_traced_tmajor(cfg: WidebandConfig, params: WidebandParams,
-                           state: WidebandState, iq: cx.CX
+                           state: WidebandState, iq
                            ) -> tuple[WidebandState, chain.ChainOutput]:
     """TIME-MAJOR flagship body: zero transpose passes between stages.
 
@@ -354,6 +368,7 @@ def _process_traced_tmajor(cfg: WidebandConfig, params: WidebandParams,
         # fallback: chan-major pipeline + one transpose keeps the
         # per-config output contract (small/odd shapes only — the
         # headline shapes always take the fused path)
+        iq = _as_f32_cx(iq)
         pfb_carry, chans = channelize_dispatch(
             cfg, params, cx.to_complex(state.pfb_carry),
             cx.to_complex(iq))
@@ -407,6 +422,7 @@ def _process_traced_tmajor(cfg: WidebandConfig, params: WidebandParams,
     # CX planes go in directly: the kernel stitches carry/x itself, so
     # no complex materialization, concat or pad pass touches the 660 MB
     # input — the planes reshape zero-copy into the kernel's DMA source
+    iq = _as_f32_cx(iq)
     pfb_carry, chansT = channelize_fused.channelize_fused_c(
         plan, params.W_pfb, state.pfb_carry, iq,
         bf16_mxu=(cfg.chan_precision == "default"),
@@ -446,6 +462,7 @@ def process_traced(cfg: WidebandConfig, params: WidebandParams,
     [chunk_per_chan·upsample, n_chan]). All boundary leaves float."""
     if cfg.time_major:
         return _process_traced_tmajor(cfg, params, state, iq)
+    iq = _as_f32_cx(iq)
     pfb_carry, chans = channelize_dispatch(
         cfg, params, cx.to_complex(state.pfb_carry), cx.to_complex(iq))
     cstate, out = chain.process_traced(cfg.chain_cfg, params.chain,
@@ -516,6 +533,26 @@ def process_many(cfg: WidebandConfig, params: WidebandParams,
     """Public multi-chunk step: iq_chunks [n_chunks, chunk_in] as CX or
     complex numpy; returns (state, audio[n_chunks, n_chan, out_len])."""
     return _process_many_cx(cfg, params, state, cx.as_cx(iq_chunks))
+
+
+_process_i16_jit = partial(jax.jit, static_argnums=0)(process_traced)
+
+
+def process_i16(cfg: WidebandConfig, params: WidebandParams,
+                state: WidebandState, iq16
+                ) -> tuple[WidebandState, chain.ChainOutput]:
+    """One chunk of INT16 IQ (the 16-bit ADC / KiwiSDR IQ wire format):
+    iq16 = (re_i16, im_i16) [chunk_in] planes, full-scale ±32768 ≡ ±1.0.
+
+    On the planar fused path the i16 planes stream straight into the
+    channelizer kernel's window DMAs (HALF the input HBM read; the
+    dequantize rides the in-VMEM window staging). All other configs
+    dequantize up front and run the standard pipeline — identical
+    semantics everywhere (~90 dB quantization floor, far above both
+    profile tiers)."""
+    re16 = jnp.asarray(iq16[0], jnp.int16)
+    im16 = jnp.asarray(iq16[1], jnp.int16)
+    return _process_i16_jit(cfg, params, state, (re16, im16))
 
 
 def channel_freqs(cfg: WidebandConfig, center_hz: float = 0.0) -> np.ndarray:

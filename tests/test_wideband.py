@@ -305,3 +305,29 @@ def test_planar_channel_map_is_row_aligned():
     rssi = np.asarray(out.rssi)[:, -1]
     top = set(np.argsort(rssi)[::-1][:2])
     assert top == set(rows), (sorted(top), rows)
+
+
+def test_i16_ingest_matches_dequantized_f32():
+    """process_i16 (planar in-kernel dequantize) equals the f32 pipeline
+    fed the dequantized planes — bit-for-bit on the planar path, and on
+    a fallback config (which dequantizes up front)."""
+    rng = np.random.default_rng(41)
+    for n_chan, chunk in ((512, 512 * 512), (16, 16 * 512)):
+        cfg = wideband.WidebandConfig(fs_in=n_chan * 12_000,
+                                      n_chan=n_chan, chunk_in=chunk,
+                                      mode="AM", taps_per=4, n_taps=129,
+                                      **wideband.PROFILES["fast"])
+        p = wideband.make_params(cfg)
+        re16 = (rng.normal(size=chunk) * 1600).astype(np.int16)
+        im16 = (rng.normal(size=chunk) * 1600).astype(np.int16)
+        st_a = wideband.init_state(cfg)
+        st_b = wideband.init_state(cfg)
+        from supersdr_tpu.ops import cx as cxm
+        deq = cxm.CX(jnp.asarray(re16, jnp.float32) / 32768.0,
+                     jnp.asarray(im16, jnp.float32) / 32768.0)
+        for _ in range(2):
+            st_a, out_a = wideband.process_i16(cfg, p, st_a, (re16, im16))
+            st_b, out_b = wideband.process(cfg, p, st_b, deq)
+            a = np.asarray(out_a.audio, np.float32)
+            b = np.asarray(out_b.audio, np.float32)
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
