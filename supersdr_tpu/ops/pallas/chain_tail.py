@@ -1,31 +1,35 @@
-"""Fused Pallas "chain tail": AM demod → DC block → AGC → 4× resample.
+"""Fused Pallas "chain tail": [passband FIR →] demod → DC → AGC → resample.
 
-After the fused channelizer and the Toeplitz passband, the remaining
-back half of the receiver chain is ~15-20 XLA elementwise/scan passes
-over [n_chan, chunk] buffers. This kernel runs all of it per VMEM tile
-in TIME-MAJOR layout ([T, C] — time on sublanes, channels on lanes),
+The entire back half of the receiver chain runs per VMEM tile in
+TIME-MAJOR layout ([T, C] — time on sublanes, channels on lanes),
 which makes every recurrence a sublane-shift problem:
 
+  (optional, `_kernel_fir`) blocked-Toeplitz PASSBAND on the MXU with
+  triple-buffered window DMAs — next tile's copy overlaps this tile's
+  compute; windows read either 2-D [chunk, C] time-major planes or the
+  channelizer's RAW [n1, chunk, n2] output directly (planar channel
+  blocks live inside one k1 plane → the channelizer→tail coupling has
+  ZERO transpose passes), in f32, bf16 (half-width coupling, the fast
+  profile) or int16 (ADC/wire-format ingest, upstream kernel) →
   envelope |y| → DC block (first-order IIR via log-depth doubling
   scan) → AGC (peak tracker as a decayed cummax via doubling-max,
   kneed gain law, attack one-pole via a second doubling scan) →
-  4× polyphase resample (9-tap × 4-phase shifted FMA, phases stacked
-  along sublanes so the audio interleave is a sublane reshape).
+  L× polyphase resample (shifted FMA per phase, phases stacked along
+  sublanes so the audio interleave is a sublane reshape), plus an
+  in-kernel Σ|y|² RSSI accumulator row (`accum_pow`).
 
 Streaming state (DC x/y, AGC peak/gain, resample tail) lives in VMEM
 scratch that persists across the sequential grid: tiles iterate
 (channel-group outer, time inner), carries reset from the state inputs
 at t==0 and write back to state outputs at the last tile — bit-exact
-chunk chaining, same carry semantics as the XLA ops.
+chunk chaining, same carry semantics as the XLA ops. The FIR precision
+ladder matches the pipeline's: 1-pass bf16 or split-bf16 ×3 (~f32 —
+the trick XLA folds away but Mosaic preserves).
 
-Layout contract: inputs are the TRANSPOSED passband output planes
-[chunk, n_chan] (one XLA transpose upstream); audio comes back
-[chunk·4, n_chan] (one XLA transpose downstream). n_chan must be a
-lane multiple; chunk a multiple of the time tile.
-
-Squelch and RSSI stay outside (they gate on whole-chunk statistics).
-The AGC hang window and noise blanker are not fused (callers keep the
-XLA path when those are enabled).
+Squelch stays outside (it gates on whole-chunk statistics). The AGC
+hang window and noise blanker are not fused (callers keep the XLA path
+when those are enabled). Measured context costs and the triple-buffer
+lesson (the unbuffered fusion was SLOWER) are in docs/PERFORMANCE.md.
 """
 
 from __future__ import annotations

@@ -17,14 +17,21 @@ Mosaic rejects reshapes that split the lane dimension, which is why the
 fold's [T, M] → [T, n1, n2] view is expressed as lane-aligned column
 slices instead.
 
-The kernel emits [n1(k1), nf, n2(k2)]; the wrapper's single XLA
-transpose (2,0,1) + reshape delivers the chain's [M, nf] layout with
-m = k2·n1 + k1 — the same indexing as `channelizer._fft_rotate`
-(`_dif_tables`), so outputs match `channelize_c` to round-off.
+The kernel emits [n1(k1), nf, n2(k2)]. Output layouts:
+  * "raw3" (the shipped coupling): the raw planes go STRAIGHT to the
+    FIR-fused tail's window DMAs (planar channel order c = k1·n2+k2;
+    `wideband.audio_channel_order` is the public row→bin map) — no
+    transpose pass anywhere. `out_dtype=bfloat16` halves the coupling
+    round-trip (free for the bf16 fast tier).
+  * "time"/"chan": one XLA transpose to [nf, M] / [M, nf] bin order
+    (m = k2·n1 + k1, matching `channelizer._fft_rotate`).
+Inputs arrive as raw CX planes (zero-copy reshape into the window
+DMAs; the kernel stitches carry/x/pad itself) or as int16 planes
+(in-VMEM dequantize — half the input read).
 
-Constraints (Mosaic, measured round 3): n2 must be a lane multiple and
-the kernel must not sit inside a `lax.scan` body (callers unroll — see
-`wideband.process_many`).
+Constraints (Mosaic, measured rounds 3-4): n2 must be a lane multiple;
+DMA sublane offsets must be 8-aligned (`pl.multiple_of` annotations);
+the split-bf16 dot3 stage B compiles at tile_t ≤ 112 only.
 """
 
 from __future__ import annotations
