@@ -195,22 +195,29 @@ def build_w_free(B: int, n_prev: int, taps: np.ndarray) -> np.ndarray:
     return np.block([[wr, wi], [-wi, wr]]).astype(np.float32)
 
 
-def tail_fir_block(chunk: int, n_taps: int, tile_t: int) -> int | None:
-    """Pick the FIR block B for the in-tail fused passband: the smallest
-    divisor of the tail tile that is ≥ n_taps−1 and a multiple of 8
-    (n_prev = 1 keeps the window at 2B). None → no fusable block."""
+def tail_fir_block(chunk: int, n_taps: int, tile_t: int
+                   ) -> tuple[int, int] | None:
+    """Pick (B, n_prev) for the in-tail fused passband, minimizing the
+    window FLOPs (∝ (n_prev+1)·B subject to n_prev·B ≥ n_taps−1,
+    B | tile, B a multiple of 8). B ≥ 64 keeps the MXU dots off the
+    grid-bound floor (a degenerate B=8 config measured 150× slower than
+    the XLA passband). None → no fusable block (short filters take the
+    XLA path)."""
     ov = n_taps - 1
     if ov < 64:
-        # degenerate blocks make the in-kernel dots tiny and grid-bound
-        # (a B=8 knockout config measured 150× slower than the
-        # standalone passband) — short filters take the XLA path
         return None
     best = None
-    for b in range(8, tile_t + 1, 8):
-        if tile_t % b == 0 and b >= ov:
-            best = b
-            break
-    return best
+    for b in range(64, tile_t + 1, 8):
+        if tile_t % b:
+            continue
+        n_prev = -(-ov // b)
+        if n_prev * b > tile_t:
+            continue                 # history self-copy needs P ≤ T
+        flops = (n_prev + 1) * b
+        key = (flops, n_prev)        # fewer blocks on ties
+        if best is None or key < best[0]:
+            best = (key, (b, n_prev))
+    return best[1] if best else None
 
 
 def fir_matmul_stream_tmajor_c(plan: FIRMatmulPlan, W: jax.Array,

@@ -206,7 +206,7 @@ def _kernel_fir(par_ref, ramp_ref, w2_ref, pbh_r_ref, pbh_i_ref,
                 xr_ref, xi_ref, st_in_ref, audio_ref, st_out_ref,
                 carry, win_r, win_i, y_r, y_i, sems, *, T: int, C: int,
                 n_t: int, L: int, PER: int, taps: tuple, ssb: bool,
-                accum_pow: bool, B: int, dot3: bool):
+                accum_pow: bool, B: int, n_prev: int, dot3: bool):
     """Tail kernel with the Toeplitz PASSBAND fused in front: the
     standalone time-major FIR matmul materialized a [2·2B, C]-per-block
     window buffer (2× the stream) AND round-tripped y through HBM —
@@ -223,6 +223,8 @@ def _kernel_fir(par_ref, ramp_ref, w2_ref, pbh_r_ref, pbh_i_ref,
     c = pl.program_id(0)
     t = pl.program_id(1)
     n_slots = 3
+    PH = n_prev * B        # history rows per window buffer
+    W = (n_prev + 1) * B   # window span per FIR block
 
     @pl.when(t == 0)
     def _():
@@ -248,9 +250,9 @@ def _kernel_fir(par_ref, ramp_ref, w2_ref, pbh_r_ref, pbh_i_ref,
             lanes = pl.ds(pl.multiple_of(c * C, 128), C)
             src_r = xr_ref.at[rows, lanes]
             src_i = xi_ref.at[rows, lanes]
-        d_r = pltpu.make_async_copy(src_r, win_r.at[slot, pl.ds(B, T), :],
+        d_r = pltpu.make_async_copy(src_r, win_r.at[slot, pl.ds(PH, T), :],
                                     sems.at[slot, 0])
-        d_i = pltpu.make_async_copy(src_i, win_i.at[slot, pl.ds(B, T), :],
+        d_i = pltpu.make_async_copy(src_i, win_i.at[slot, pl.ds(PH, T), :],
                                     sems.at[slot, 1])
         return d_r, d_i
 
@@ -283,21 +285,21 @@ def _kernel_fir(par_ref, ramp_ref, w2_ref, pbh_r_ref, pbh_i_ref,
     # else the previous slot's x-tile tail
     @pl.when(t == 0)
     def _():
-        win_r[slot, 0:B, :] = pbh_r_ref[:, :].astype(win_r.dtype)
-        win_i[slot, 0:B, :] = pbh_i_ref[:, :].astype(win_i.dtype)
+        win_r[slot, 0:PH, :] = pbh_r_ref[:, :].astype(win_r.dtype)
+        win_i[slot, 0:PH, :] = pbh_i_ref[:, :].astype(win_i.dtype)
 
     @pl.when(t > 0)
     def _():
-        win_r[slot, 0:B, :] = win_r[pslot, T: T + B, :]
-        win_i[slot, 0:B, :] = win_i[pslot, T: T + B, :]
+        win_r[slot, 0:PH, :] = win_r[pslot, T: T + PH, :]
+        win_i[slot, 0:PH, :] = win_i[pslot, T: T + PH, :]
 
     # ---- blocked Toeplitz passband on the MXU
     dot = partial(jax.lax.dot_general,
                   dimension_numbers=(((0,), (0,)), ((), ())),
                   preferred_element_type=jnp.float32)
     for b in range(T // B):
-        z = jnp.concatenate([win_r[slot, b * B: b * B + 2 * B, :],
-                             win_i[slot, b * B: b * B + 2 * B, :]],
+        z = jnp.concatenate([win_r[slot, b * B: b * B + W, :],
+                             win_i[slot, b * B: b * B + W, :]],
                             axis=0)
         w2 = w2_ref[:]
         if dot3:
@@ -385,10 +387,12 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
 
     if fir is not None:
         B = fir["B"]
+        n_prev = fir["n_prev"]
+        PH = n_prev * B
         audio, st_out = pl.pallas_call(
             partial(_kernel_fir, T=tile_t, C=lane_c, n_t=n_t, L=L,
                     PER=PER, taps=taps, ssb=ssb, accum_pow=accum_pow,
-                    B=B, dot3=fir["dot3"]),
+                    B=B, n_prev=n_prev, dot3=fir["dot3"]),
             out_shape=(
                 jax.ShapeDtypeStruct((chunk * L, M), audio_dtype),
                 jax.ShapeDtypeStruct((n_groups * rows, lane_c),
@@ -400,11 +404,12 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((tile_t, 1), lambda c, t: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * B, 2 * B), lambda c, t: (0, 0),
+                pl.BlockSpec((2 * (n_prev + 1) * B, 2 * B),
+                             lambda c, t: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, lane_c), lambda c, t: (0, c),
+                pl.BlockSpec((PH, lane_c), lambda c, t: (0, c),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((B, lane_c), lambda c, t: (0, c),
+                pl.BlockSpec((PH, lane_c), lambda c, t: (0, c),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -419,8 +424,8 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
             ),
             scratch_shapes=[
                 pltpu.VMEM((rows, lane_c), jnp.float32),
-                pltpu.VMEM((3, B + tile_t, lane_c), fir["x_r"].dtype),
-                pltpu.VMEM((3, B + tile_t, lane_c), fir["x_r"].dtype),
+                pltpu.VMEM((3, PH + tile_t, lane_c), fir["x_r"].dtype),
+                pltpu.VMEM((3, PH + tile_t, lane_c), fir["x_r"].dtype),
                 pltpu.VMEM((tile_t, lane_c), jnp.float32),
                 pltpu.VMEM((tile_t, lane_c), jnp.float32),
                 pltpu.SemaphoreType.DMA((3, 2)),

@@ -281,11 +281,12 @@ def make_params(cfg: ChainConfig,
                             jnp.asarray(np.sin(w * (ns - c)), jnp.float32))
     W_tailpass = None
     if cfg.passband_impl == "matmul" and not cfg.is_rational:
-        B = fir_matmul.tail_fir_block(cfg.chunk, cfg.n_taps,
-                                      _tail_tile(cfg.chunk, cfg.n_taps))
-        if B is not None:
+        bn = fir_matmul.tail_fir_block(cfg.chunk, cfg.n_taps,
+                                       _tail_tile(cfg.chunk, cfg.n_taps))
+        if bn is not None:
+            B, n_prev = bn
             W_tailpass = jnp.asarray(
-                fir_matmul.build_w_free(B, 1, taps))
+                fir_matmul.build_w_free(B, n_prev, taps))
     return ChainParams(nco=nco, H_pass=H, P_interp=jnp.asarray(P, jnp.float32),
                        agc=agc_p,
                        squelch=squelch_ops.make_squelch(**(squelch_kwargs or {})),
@@ -325,8 +326,9 @@ def _tail_tile(chunk: int, n_taps: int | None = None) -> int:
         return cands[-1]
     best = None
     for t in cands:
-        b = fir_matmul.tail_fir_block(chunk, n_taps, t)
-        key = (b if b is not None else 1 << 30, -t)
+        bn = fir_matmul.tail_fir_block(chunk, n_taps, t)
+        flops = (bn[1] + 1) * bn[0] if bn is not None else 1 << 30
+        key = (flops, -t)
         if best is None or key < best[0]:
             best = (key, t)
     return best[1]
@@ -529,17 +531,19 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
         if params.W_tailpass is None:
             raise ValueError("fir_x given but params.W_tailpass missing")
         B = params.W_tailpass.shape[1] // 2
+        n_prev = params.W_tailpass.shape[0] // (2 * B) - 1
+        PH = n_prev * B
         ov = cfg.n_taps - 1
         if fir_x3 is not None:
             fxr, fxi = fir_x3
         else:
             fxr, fxi = cpad_lane(fir_x.re), cpad_lane(fir_x.im)
-        # tile-0 history head [B, Cp]: zero rows, then the carried
+        # tile-0 history head [PH, Cp]: zero rows, then the carried
         # n_taps-1 input tail (state os_carry [C, ov] bin-order —
         # permuted to the kernel's lane order). Head dtype follows the
         # source planes (bf16 raw3 coupling on the fast profile).
         hd = fxr.dtype
-        hz = jnp.zeros((B - ov, (Cp if fir_x3 is None else C)), hd)
+        hz = jnp.zeros((PH - ov, (Cp if fir_x3 is None else C)), hd)
         head_r = jnp.concatenate(
             [hz, cpad_lane(to_planar(state.os_carry.re).T).astype(hd)],
             axis=0)
@@ -547,7 +551,7 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
             [hz, cpad_lane(to_planar(state.os_carry.im).T).astype(hd)],
             axis=0)
         fir = dict(w2=params.W_tailpass, head_r=head_r, head_i=head_i,
-                   x_r=fxr, x_i=fxi, B=B,
+                   x_r=fxr, x_i=fxi, B=B, n_prev=n_prev,
                    dot3=(cfg.passband_precision != "default"))
         if fir_x3 is None:
             xr, xi = fxr, fxi

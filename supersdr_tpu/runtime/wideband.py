@@ -305,10 +305,10 @@ def _planar_active(cfg: WidebandConfig) -> bool:
         return False       # raw3 needs exact frame tiling
     ccfg = cfg.chain_cfg
     from supersdr_tpu.ops import fir_matmul
-    B = fir_matmul.tail_fir_block(ccfg.chunk, ccfg.n_taps,
-                                  chain._tail_tile(ccfg.chunk,
-                                                   ccfg.n_taps))
-    return B is not None
+    bn = fir_matmul.tail_fir_block(ccfg.chunk, ccfg.n_taps,
+                                   chain._tail_tile(ccfg.chunk,
+                                                    ccfg.n_taps))
+    return bn is not None
 
 
 def audio_channel_order(cfg: WidebandConfig) -> np.ndarray:
