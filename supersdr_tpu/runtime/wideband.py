@@ -52,12 +52,14 @@ PROFILES = {
     # at tile_t ≤ 112 (the r3 compile cliff starts at 128 for the dot3
     # path; benchmarks/sweep_quality.py records the sweep): 2368 Msps at
     # 81.8 dB MID-gate SNR vs 1394 Msps at 82.8 dB for the r3 XLA-FFT
-    # form.
+    # form. chan_tile_t=64 (measured equal to 96/112 at the
+    # headline) so the MID integrity gate's 512-frame chunk divides the
+    # tile and exercises the SAME planar coupling the headline runs.
     "quality": dict(passband_impl="matmul", passband_precision="high",
                     chan_impl="mxu2fused", chan_precision="high",
                     resample_impl="matmul",
                     resample_precision="high", tail_impl="pallas",
-                    time_major=True, chan_tile_t=96),
+                    time_major=True, chan_tile_t=64),
 }
 
 
