@@ -331,3 +331,29 @@ def test_i16_ingest_matches_dequantized_f32():
             a = np.asarray(out_a.audio, np.float32)
             b = np.asarray(out_b.audio, np.float32)
             np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_tmajor_standalone_passband_branch():
+    """Short filters (< 65 taps) keep the time-major layout but run the
+    STANDALONE time-major passband (fir_matmul_stream_tmajor_c) instead
+    of the in-tail fusion — that branch must match the chan-major
+    pipeline too."""
+    base = dict(fs_in=512 * 12_000, n_chan=512, chunk_in=512 * 512,
+                mode="AM", taps_per=4, n_taps=33)
+    prof = dict(wideband.PROFILES["fast"])
+    prof.pop("time_major", None)
+    prof.update(passband_precision="high", chan_precision="high")
+    cfg_t = wideband.WidebandConfig(**base, **prof, time_major=True)
+    cfg_c = wideband.WidebandConfig(**base, **prof)
+    p = wideband.make_params(cfg_t)
+    assert p.chain.W_tailpass is None       # the fused-FIR path is off
+    assert wideband._tmajor_fused_ok(cfg_t)
+    rng = np.random.default_rng(51)
+    iq = ((rng.normal(size=cfg_t.chunk_in)
+           + 1j * rng.normal(size=cfg_t.chunk_in)) * 0.05
+          ).astype(np.complex64)
+    _, out_t = wideband.process(cfg_t, p, wideband.init_state(cfg_t), iq)
+    _, out_c = wideband.process(cfg_c, p, wideband.init_state(cfg_c), iq)
+    a_t = np.asarray(out_t.audio).T
+    a_c = np.asarray(out_c.audio)[wideband.audio_channel_order(cfg_t)]
+    assert _snr(a_c, a_t) > 75, _snr(a_c, a_t)
