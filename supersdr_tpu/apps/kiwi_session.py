@@ -112,7 +112,10 @@ def run_kiwi_session(args) -> int:
             while True:
                 try:
                     msg = wf_client.read()
-                except KiwiError:
+                except (KiwiError, OSError, ValueError):
+                    # stream over / socket torn down mid-read — the
+                    # reader thread just ends, like the reference's
+                    # wf thread on kiwi_wf.terminate
                     return
                 if isinstance(msg, kp.WfFrame):
                     wf_rows.append(wf_client.wf_bins(msg))
@@ -290,7 +293,7 @@ def run_kiwi_tui(args) -> int:
             while True:
                 try:
                     msg = wfc.read()
-                except (KiwiError, OSError):
+                except (KiwiError, OSError, ValueError):
                     return
                 if st["wf"] is not wfc:
                     return  # superseded by a server switch
