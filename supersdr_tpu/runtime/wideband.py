@@ -29,18 +29,20 @@ from supersdr_tpu.runtime import chain
 # tile, kernel-stitched input windows) and the FIR-fused chain tail
 # (ops/pallas/chain_tail.py: Toeplitz passband + demod + DC + AGC +
 # resample, triple-buffered window DMAs, in-kernel RSSI):
-# "fast" = 3662 Msps/chip at ~54 dB oracle audio SNR (1-pass bf16 MXU);
-# "quality" = 2731 Msps at ~82 dB (split-bf16 ×3 in-kernel dots — the
+# "fast" = 6102 Msps/chip at ~54 dB oracle audio SNR (1-pass bf16 MXU;
+# 6636 Msps at int16 ingest);
+# "quality" = 4200 Msps at ~82 dB (split-bf16 ×3 in-kernel dots — the
 # precision trick XLA folds away but Mosaic preserves). The kernels
 # need a working Mosaic toolchain and lane-multiple n_chan factors;
 # other shapes fall back to the XLA paths automatically (the SMALL
 # integrity gate exercises exactly that fallback).
 PROFILES = {
-    # round 4: "fast" runs the whole pipeline TIME-MAJOR (zero transpose
-    # passes between stages, kernel-stitched input windows, in-kernel
-    # RSSI) — 3059 Msps/chip vs 2505 for the chan-major r3 form on the
-    # same kernels (benchmarks/ab_tmajor.py). Audio returns
-    # [frames·L, n_chan] float32 (bf16/f16 audio planes measured: bf16
+    # round 4: "fast" runs the whole pipeline TIME-MAJOR with the
+    # PLANAR zero-transpose coupling (kernel-stitched input windows,
+    # in-tail FIR, in-kernel RSSI, bf16 coupling buffer) — the full
+    # optimization ladder is in docs/PERFORMANCE.md. Audio returns
+    # [frames·L, n_chan] float32, rows ordered per
+    # `audio_channel_order` (bf16/f16 audio planes measured: bf16
     # saved nothing, f16 is unsupported by Mosaic on this runtime).
     "fast": dict(passband_impl="matmul", passband_precision="default",
                  chan_impl="mxu2fused", chan_precision="default",
@@ -50,9 +52,9 @@ PROFILES = {
     # round 4: "quality" also goes fully fused + time-major — the
     # in-kernel split-bf16 dot3 stage B (precision "high") now compiles
     # at tile_t ≤ 112 (the r3 compile cliff starts at 128 for the dot3
-    # path; benchmarks/sweep_quality.py records the sweep): 2368 Msps at
-    # 81.8 dB MID-gate SNR vs 1394 Msps at 82.8 dB for the r3 XLA-FFT
-    # form. chan_tile_t=64 (measured equal to 96/112 at the
+    # path; benchmarks/sweep_quality.py records the sweep): 4200 Msps
+    # at 81.8 dB MID-gate SNR vs 1394 Msps at 82.8 dB for the r3
+    # XLA-FFT form. chan_tile_t=64 (measured equal to 96/112 at the
     # headline) so the MID integrity gate's 512-frame chunk divides the
     # tile and exercises the SAME planar coupling the headline runs.
     "quality": dict(passband_impl="matmul", passband_precision="high",
