@@ -86,7 +86,8 @@ def _n_pows(T):
 
 def _tail_core(yr, yi, t, par_ref, ramp_ref, audio_ref, st_out_ref, carry,
                *, T: int, C: int, L: int, PER: int, taps: tuple,
-               ssb: bool, accum_pow: bool):
+               ssb: bool, accum_pow: bool, wrs_ref=None,
+               rs_dot3: bool = False, RB: int = 0):
     """The demod→DC→AGC→resample tail math on one [T, C] tile of the
     passband planes (values, already in VMEM/registers)."""
     r_dc = par_ref[0, 0]
@@ -158,9 +159,37 @@ def _tail_core(yr, yi, t, par_ref, ramp_ref, audio_ref, st_out_ref, carry,
     carry[3:4, :] = g[T - 1: T, :]
     audio1 = audio0 * jnp.exp(_LN10_D20 * g)
 
-    # ---- 4× polyphase resample: y[(n)·L + p] = Σ_m seg[n−(PER−1)+m]·P[m,p]
-    # seg = [tail (PER−1) | audio1]; per phase a PER-tap shifted FMA
+    # ---- L× polyphase resample: y[n·L + p] = Σ_m seg[n−(PER−1)+m]·P[m,p]
     seg = jnp.concatenate([carry[4: 4 + PER - 1, :], audio1], axis=0)
+    carry[4: 4 + PER - 1, :] = audio1[T - (PER - 1): T, :]
+    if wrs_ref is not None:
+        # MXU form: per RB-sample block, out rows [L·RB, C] =
+        # Wrs [L·RB, RB+PER−1] · seg window — the interleave rides the
+        # matmul's row order (Wrs row n·L+p carries P[·, p] at offset n)
+        dot = partial(jax.lax.dot_general,
+                      dimension_numbers=(((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32)
+        w = wrs_ref[:]
+        for b in range(T // RB):
+            z = seg[b * RB: b * RB + RB + PER - 1, :]
+            if rs_dot3:
+                def split(v):
+                    hi = v.astype(jnp.bfloat16)
+                    lo = (v.astype(jnp.float32)
+                          - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                    return hi, lo
+
+                wh, wl = split(w)
+                zh, zl = split(z)
+                o = dot(wh, zh) + dot(wh, zl) + dot(wl, zh)
+            else:
+                o = dot(w.astype(jnp.bfloat16), z.astype(jnp.bfloat16))
+            audio_ref[b * RB * L:(b + 1) * RB * L, :] = \
+                o.astype(audio_ref.dtype)
+        st_out_ref[:, :] = carry[:, :]
+        return
+    # VPU form: per phase a PER-tap shifted FMA, interleave via a
+    # sublane reshape (jnp.stack does not lower through Mosaic)
     phases = []
     for p in range(L):
         acc = None
@@ -168,9 +197,6 @@ def _tail_core(yr, yi, t, par_ref, ramp_ref, audio_ref, st_out_ref, carry,
             term = taps[m * L + p] * seg[m: m + T, :]
             acc = term if acc is None else acc + term
         phases.append(acc)
-    carry[4: 4 + PER - 1, :] = audio1[T - (PER - 1): T, :]
-    # interleave: [T, L, C] stacked on sublanes → [T·L, C] (concat of
-    # sublane-split reshapes — jnp.stack does not lower through Mosaic)
     out = jnp.concatenate([ph.reshape(T, 1, C) for ph in phases],
                           axis=1).reshape(T * L, C)
     audio_ref[:] = out.astype(audio_ref.dtype)
@@ -202,11 +228,19 @@ def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
                ssb=ssb, accum_pow=accum_pow)
 
 
-def _kernel_fir(par_ref, ramp_ref, w2_ref, pbh_r_ref, pbh_i_ref,
-                xr_ref, xi_ref, st_in_ref, audio_ref, st_out_ref,
-                carry, win_r, win_i, y_r, y_i, sems, *, T: int, C: int,
+def _kernel_fir(par_ref, ramp_ref, w2_ref, *args, T: int, C: int,
                 n_t: int, L: int, PER: int, taps: tuple, ssb: bool,
-                accum_pow: bool, B: int, n_prev: int, dot3: bool):
+                accum_pow: bool, B: int, n_prev: int, dot3: bool,
+                RB: int = 0, rs_dot3: bool = False):
+    if RB:
+        (wrs_ref, pbh_r_ref, pbh_i_ref, xr_ref, xi_ref, st_in_ref,
+         audio_ref, st_out_ref, carry, win_r, win_i, y_r, y_i,
+         sems) = args
+    else:
+        wrs_ref = None
+        (pbh_r_ref, pbh_i_ref, xr_ref, xi_ref, st_in_ref,
+         audio_ref, st_out_ref, carry, win_r, win_i, y_r, y_i,
+         sems) = args
     """Tail kernel with the Toeplitz PASSBAND fused in front: the
     standalone time-major FIR matmul materialized a [2·2B, C]-per-block
     window buffer (2× the stream) AND round-tripped y through HBM —
@@ -323,7 +357,8 @@ def _kernel_fir(par_ref, ramp_ref, w2_ref, pbh_r_ref, pbh_i_ref,
 
     _tail_core(y_r[:], y_i[:], t, par_ref, ramp_ref, audio_ref,
                st_out_ref, carry, T=T, C=C, L=L, PER=PER, taps=taps,
-               ssb=ssb, accum_pow=accum_pow)
+               ssb=ssb, accum_pow=accum_pow, wrs_ref=wrs_ref,
+               rs_dot3=rs_dot3, RB=RB)
 
 
 def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
@@ -389,10 +424,28 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
         B = fir["B"]
         n_prev = fir["n_prev"]
         PH = n_prev * B
+        RB = fir.get("rs_block", 0)
+        wrs_in = []
+        wrs_specs = []
+        if RB:
+            if tile_t % RB:
+                raise ValueError("rs_block must divide the tail tile")
+            # Wrs[n·L+p, s] = P[s−n, p] — the audio interleave rides the
+            # matmul's output row order (ops/resample.plan_interp taps)
+            S = RB + PER - 1
+            Wrs = np.zeros((L * RB, S), np.float32)
+            for n in range(RB):
+                for pph in range(L):
+                    for m in range(PER):
+                        Wrs[n * L + pph, n + m] = taps[m * L + pph]
+            wrs_in = [jnp.asarray(Wrs)]
+            wrs_specs = [pl.BlockSpec((L * RB, S), lambda c, t: (0, 0),
+                                      memory_space=pltpu.VMEM)]
         audio, st_out = pl.pallas_call(
             partial(_kernel_fir, T=tile_t, C=lane_c, n_t=n_t, L=L,
                     PER=PER, taps=taps, ssb=ssb, accum_pow=accum_pow,
-                    B=B, n_prev=n_prev, dot3=fir["dot3"]),
+                    B=B, n_prev=n_prev, dot3=fir["dot3"], RB=RB,
+                    rs_dot3=fir.get("rs_dot3", False)),
             out_shape=(
                 jax.ShapeDtypeStruct((chunk * L, M), audio_dtype),
                 jax.ShapeDtypeStruct((n_groups * rows, lane_c),
@@ -407,6 +460,7 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                 pl.BlockSpec((2 * (n_prev + 1) * B, 2 * B),
                              lambda c, t: (0, 0),
                              memory_space=pltpu.VMEM),
+            ] + wrs_specs + [
                 pl.BlockSpec((PH, lane_c), lambda c, t: (0, c),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((PH, lane_c), lambda c, t: (0, c),
@@ -431,7 +485,7 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                 pltpu.SemaphoreType.DMA((3, 2)),
             ],
             interpret=interpret,
-        )(par, ramp, fir["w2"], fir["head_r"], fir["head_i"],
+        )(par, ramp, fir["w2"], *wrs_in, fir["head_r"], fir["head_i"],
           fir["x_r"], fir["x_i"], st2d)
         st_out = st_out.reshape(n_groups, rows, lane_c)[:, :rows_in, :]
         return audio, st_out

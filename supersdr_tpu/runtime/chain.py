@@ -553,6 +553,15 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
         fir = dict(w2=params.W_tailpass, head_r=head_r, head_i=head_i,
                    x_r=fxr, x_i=fxi, B=B, n_prev=n_prev,
                    dot3=(cfg.passband_precision != "default"))
+        if cfg.resample_impl == "matmul":
+            # resample on the MXU too (blocked-Toeplitz; the interleave
+            # rides the matmul row order) — "fma" keeps the VPU form
+            tile = _tail_tile(cfg.chunk, cfg.n_taps)
+            rb = 32 if tile % 32 == 0 else (16 if tile % 16 == 0 else 0)
+            if rb:
+                fir["rs_block"] = rb
+                fir["rs_dot3"] = cfg.resample_precision != "default"
+
         if fir_x3 is None:
             xr, xi = fxr, fxi
     audioT, st2 = chain_tail.chain_tail_am(
