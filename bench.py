@@ -75,9 +75,12 @@ MID_SSB = dict(fs_in=30_720_000, n_chan=2560, chunk_in=2560 * 512,
 HEADLINE = dict(fs_in=30_720_000, n_chan=2560,
                 chunk_in=2560 * (16384 - 256), mode="AM",
                 taps_per=8, n_taps=257, audio_rate=48_000)
-# N_SCAN=1: re-A/B'd in r3 — with ~15 ms fused-kernel steps the extra
-# in-flight audio buffers cost more than dispatch amortization buys
-N_SCAN = int(os.environ.get("BENCH_N_SCAN", "1"))
+# N_SCAN=2 via tuple-output multi-chunk programs (wideband.process_n —
+# no [N,...] audio stack): at ~6 ms fused steps, ~0.4 ms/chunk of
+# tunneled dispatch gap hides behind the second chunk (re-A/B'd r4:
+# 5.32 vs 5.69 ms/chunk). N_SCAN=1 falls back to single-chunk
+# process(); >2 showed no further gain.
+N_SCAN = int(os.environ.get("BENCH_N_SCAN", "2"))
 MIN_MEASURE_S = 2.0
 
 _ORACLE_SRC = """
@@ -201,15 +204,17 @@ def measure(tuning: dict) -> dict:
     # [1, frames·L, n_chan] rank-3 result of a 1-chunk process_many
     # costs a measurable extra copy on this runtime (~1 ms at the
     # headline shape, measured r4)
+    iq_single = cx.CX(iq_dev.re[0], iq_dev.im[0])   # sliced ONCE
     if N_SCAN == 1:
-        iq_single = cx.CX(iq_dev.re[0], iq_dev.im[0])   # sliced ONCE
-
         def step(st_, _iq):
             st2, out = wideband.process(cfg, params, st_, iq_single)
             return st2, out.audio
     else:
+        iq_tup = (iq_single,) * N_SCAN
+
         def step(st_, _iq):
-            return wideband.process_many(cfg, params, st_, _iq)
+            st2, outs = wideband.process_n(cfg, params, st_, iq_tup)
+            return st2, outs[-1]
 
     # warmup / compile (cold compile through the tunnel can take minutes;
     # the persistent cache makes repeat runs fast)
@@ -267,7 +272,7 @@ def measure(tuning: dict) -> dict:
     # /root/reference/kiwi/client.py:443-454 carries IQ as s16): halves
     # the input HBM read via in-kernel dequantize. Validated on-device
     # against the dequantized-f32 pipeline on this config before timing.
-    if N_SCAN == 1 and tuning.get("time_major"):
+    if tuning.get("time_major"):
         try:
             @jax.jit
             def gen16(key):
@@ -291,16 +296,19 @@ def measure(tuning: dict) -> dict:
             i16_snr = 20.0 * np.log10(max(num, 1e-30) / max(den, 1e-30))
             assert i16_snr > 80.0, f"i16 path diverges: {i16_snr:.1f} dB"
             it16 = max(iters // 2, 8)
+            n16 = max(N_SCAN, 1)
+            iq16_tup = (iq16,) * n16
+            s16, o16s = wideband.process_n(cfg, params, state, iq16_tup)
+            _ = fetch_stat(o16s[-1])
             t0 = time.perf_counter()
-            s16 = st16
             for _ in range(it16):
-                s16, o16 = wideband.process_i16(cfg, params, s16, iq16)
-            stat16 = fetch_stat(o16.audio)
+                s16, o16s = wideband.process_n(cfg, params, s16, iq16_tup)
+            stat16 = fetch_stat(o16s[-1])
             dt16 = time.perf_counter() - t0
             assert np.isfinite(stat16) and stat16 > 0
             out["i16_ingest"] = {
-                "value": round(cfg.chunk_in * it16 / dt16 / 1e6, 2),
-                "step_ms": round(dt16 / it16 * 1e3, 2),
+                "value": round(n16 * cfg.chunk_in * it16 / dt16 / 1e6, 2),
+                "step_ms": round(dt16 / it16 / n16 * 1e3, 2),
                 "vs_f32_snr_db": round(i16_snr, 1)}
         except Exception as e:    # the secondary must not kill the artifact
             out["i16_ingest"] = {"error": f"{type(e).__name__}: {e}"}

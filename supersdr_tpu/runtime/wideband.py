@@ -542,6 +542,37 @@ def process_many(cfg: WidebandConfig, params: WidebandParams,
 _process_i16_jit = partial(jax.jit, static_argnums=0)(process_traced)
 
 
+def process_n_traced(cfg: WidebandConfig, params: WidebandParams,
+                     state: WidebandState, iqs: tuple
+                     ) -> tuple[WidebandState, tuple]:
+    """N consecutive chunks in ONE device program, audio returned as a
+    TUPLE (no [N, ...] stack — a 1-chunk stack measured an extra audio
+    copy on this runtime, and ~0.4 ms/chunk of per-dispatch gap hides
+    behind the second chunk at the tunneled dispatch rate). Each chunk
+    is a CX (or an (re_i16, im_i16) pair — mixable is pointless but
+    harmless)."""
+    outs = []
+    for iq in iqs:
+        state, out = process_traced(cfg, params, state, iq)
+        outs.append(out.audio)
+    return state, tuple(outs)
+
+
+_process_n_jit = partial(jax.jit, static_argnums=0)(process_n_traced)
+
+
+def process_n(cfg: WidebandConfig, params: WidebandParams,
+              state: WidebandState, iqs) -> tuple[WidebandState, tuple]:
+    """Public multi-chunk step with tuple outputs (see
+    process_n_traced); iqs: sequence of CX / complex numpy / i16 pairs."""
+    def coerce(iq):
+        if _is_i16_pair(iq):
+            return (jnp.asarray(iq[0], jnp.int16),
+                    jnp.asarray(iq[1], jnp.int16))
+        return cx.as_cx(iq)
+    return _process_n_jit(cfg, params, state, tuple(coerce(q) for q in iqs))
+
+
 def process_i16(cfg: WidebandConfig, params: WidebandParams,
                 state: WidebandState, iq16
                 ) -> tuple[WidebandState, chain.ChainOutput]:
