@@ -357,3 +357,41 @@ def test_tmajor_standalone_passband_branch():
     a_t = np.asarray(out_t.audio).T
     a_c = np.asarray(out_c.audio)[wideband.audio_channel_order(cfg_t)]
     assert _snr(a_c, a_t) > 75, _snr(a_c, a_t)
+
+
+def test_process_n_matches_serial_calls():
+    """process_n (tuple-output multi-chunk, the bench N_SCAN=2 form)
+    equals N serial process calls sample-exactly, for CX and i16
+    chunks."""
+    cfg = wideband.WidebandConfig(fs_in=512 * 12_000, n_chan=512,
+                                  chunk_in=512 * 512, mode="AM",
+                                  taps_per=4, n_taps=129,
+                                  **wideband.PROFILES["fast"])
+    p = wideband.make_params(cfg)
+    rng = np.random.default_rng(61)
+    iq = ((rng.normal(size=(2, cfg.chunk_in))
+           + 1j * rng.normal(size=(2, cfg.chunk_in))) * 0.05
+          ).astype(np.complex64)
+    st, outs = wideband.process_n(cfg, p, wideband.init_state(cfg),
+                                  [iq[0], iq[1]])
+    st2 = wideband.init_state(cfg)
+    st2, o1 = wideband.process(cfg, p, st2, iq[0])
+    st2, o2 = wideband.process(cfg, p, st2, iq[1])
+    np.testing.assert_array_equal(np.asarray(outs[0]),
+                                  np.asarray(o1.audio))
+    np.testing.assert_array_equal(np.asarray(outs[1]),
+                                  np.asarray(o2.audio))
+
+    # i16 chunks through the same entry
+    r16 = (rng.normal(size=(2, cfg.chunk_in)) * 1600).astype(np.int16)
+    i16 = (rng.normal(size=(2, cfg.chunk_in)) * 1600).astype(np.int16)
+    stn, outsn = wideband.process_n(
+        cfg, p, wideband.init_state(cfg),
+        [(r16[0], i16[0]), (r16[1], i16[1])])
+    sts = wideband.init_state(cfg)
+    sts, s1 = wideband.process_i16(cfg, p, sts, (r16[0], i16[0]))
+    sts, s2 = wideband.process_i16(cfg, p, sts, (r16[1], i16[1]))
+    np.testing.assert_array_equal(np.asarray(outsn[0]),
+                                  np.asarray(s1.audio))
+    np.testing.assert_array_equal(np.asarray(outsn[1]),
+                                  np.asarray(s2.audio))
