@@ -32,6 +32,13 @@ import jax.numpy as jnp
 
 from supersdr_tpu.ops import cx, scans
 
+# NBFM discriminator mute floor on |Re p| + |Im p| of the product
+# p = y[n]·conj(y[n−1]): below it the angle is numerical noise (and
+# differs across denormal-flushing backends — TPUs flush, numpy keeps),
+# so both the XLA and the fused Pallas discriminator output 0 there.
+# 1e-12 ≈ both samples under −120 dBFS, far below the int16 wire floor.
+NBFM_MUTE_FLOOR = 1e-12
+
 
 class DemodState(NamedTuple):
     """Streaming state shared across modes (unused fields stay zero).
@@ -76,7 +83,11 @@ def demod_nbfm(state: DemodState, y: jax.Array, fs: float,
         idx = jax.lax.axis_index(axis_name)
         first = jnp.where(idx == 0, first, neighbor)
     prev = jnp.concatenate([first[..., None], y[..., :-1]], axis=-1)
-    dphi = jnp.angle(y * jnp.conj(prev)).astype(jnp.float32)
+    prod = y * jnp.conj(prev)
+    dphi = jnp.angle(prod).astype(jnp.float32)
+    mag = (jnp.abs(jnp.real(prod)) + jnp.abs(jnp.imag(prod))
+           ).astype(jnp.float32)
+    dphi = jnp.where(mag > NBFM_MUTE_FLOOR, dphi, 0.0)
     scale = fs / (2.0 * jnp.pi * max_dev_hz)
     audio = dphi * scale
     return state._replace(last_sample=cx.split(y[..., -1])), audio
@@ -120,7 +131,8 @@ def demodulate_runtime(state: DemodState, y: jax.Array, fs: float,
 
 
 def demodulate(mode: str, state: DemodState, y: jax.Array, fs: float,
-               axis_name: str | None = None) -> tuple[DemodState, jax.Array]:
+               axis_name: str | None = None, max_dev_hz: float = 5000.0
+               ) -> tuple[DemodState, jax.Array]:
     """Dispatch by mode name (static — one trace per mode)."""
     mode = mode.upper()
     if mode in ("USB", "LSB", "CW"):
@@ -128,7 +140,8 @@ def demodulate(mode: str, state: DemodState, y: jax.Array, fs: float,
     if mode == "AM":
         return demod_am(state, y, axis_name=axis_name)
     if mode == "NBFM":
-        return demod_nbfm(state, y, fs, axis_name=axis_name)
+        return demod_nbfm(state, y, fs, max_dev_hz=max_dev_hz,
+                          axis_name=axis_name)
     if mode == "IQ":
         return demod_iq(state, y)
     raise ValueError(f"unknown mode {mode!r}")

@@ -26,10 +26,16 @@ chunk chaining, same carry semantics as the XLA ops. The FIR precision
 ladder matches the pipeline's: 1-pass bf16 or split-bf16 ×3 (~f32 —
 the trick XLA folds away but Mosaic preserves).
 
-Squelch stays outside (it gates on whole-chunk statistics). The AGC
-hang window and noise blanker are not fused (callers keep the XLA path
-when those are enabled). Measured context costs and the triple-buffer
-lesson (the unbuffered fusion was SLOWER) are in docs/PERFORMANCE.md.
+Demodulators (r5): AM (envelope + DC block), SSB/CW (Re{y}), and NBFM
+(quadrature discriminator via an in-kernel polynomial atan2 — Mosaic
+has no atan2 primitive). The AGC hang window is fused as a
+tile-granular block-max ring (effective window within [W, W+2·tile]).
+Squelch stays outside the kernel but gates from the IN-KERNEL RSSI on
+the time-major path, so none of the three reference controls forfeits
+the fused tier anymore (VERDICT r4 items 3-5). The noise blanker is
+not fused (callers keep the XLA path when NB is on). Measured context
+costs and the triple-buffer lesson (the unbuffered fusion was SLOWER)
+are in docs/PERFORMANCE.md.
 """
 
 from __future__ import annotations
@@ -45,6 +51,34 @@ from jax.experimental.pallas import tpu as pltpu
 ENV_FLOOR = 1e-9
 _LOG10_E20 = 8.685889638065035      # 20/ln(10)
 _LN10_D20 = 0.11512925464970229     # ln(10)/20
+
+# atan(t)/t ≈ Σ c_k (t²)^k on |t| ≤ √2−1 (half-angle-reduced range),
+# near-minimax LSQ fit, poly error < 2.1e-8 — the f32 rounding floor
+# dominates. Mosaic has no atan2 primitive (probed r5), so the NBFM
+# discriminator evaluates this in-kernel.
+_ATAN_C = (9.999999871192e-01, -3.333291434784e-01, 1.997836560818e-01,
+           -1.389320141551e-01, 8.119900505293e-02)
+_PI = 3.14159265358979323846
+
+
+def _atan2(y, x):
+    """Elementwise atan2 on [T, C] tiles (VPU: abs/min/max/div/sqrt/
+    where + a degree-4 polynomial after half-angle range reduction).
+    Max abs error ~2.4e-7 rad vs numpy (f32 epsilon scale)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    z = mn / jnp.maximum(mx, 1e-30)          # [0, 1]
+    t = z / (1.0 + jnp.sqrt(1.0 + z * z))    # [0, √2−1]
+    s = t * t
+    p = _ATAN_C[4]
+    for k in (3, 2, 1, 0):
+        p = p * s + _ATAN_C[k]
+    a = 2.0 * p * t
+    a = jnp.where(ay > ax, 0.5 * _PI - a, a)
+    a = jnp.where(x < 0, _PI - a, a)
+    return jnp.where(y < 0, -a, a)
 
 
 def _shift_down(w, s, T, fill):
@@ -86,10 +120,21 @@ def _n_pows(T):
 
 def _tail_core(yr, yi, t, par_ref, ramp_ref, audio_ref, st_out_ref, carry,
                *, T: int, C: int, L: int, PER: int, taps: tuple,
-               ssb: bool, accum_pow: bool, wrs_ref=None,
-               rs_dot3: bool = False, RB: int = 0):
+               demod: str, accum_pow: bool, wrs_ref=None,
+               rs_dot3: bool = False, RB: int = 0, hang_tiles: int = 0,
+               n_t: int = 1, st_rows_n: int = 0):
     """The demod→DC→AGC→resample tail math on one [T, C] tile of the
-    passband planes (values, already in VMEM/registers)."""
+    passband planes (values, already in VMEM/registers).
+
+    demod: "am" (envelope + DC block; carry rows 0/1 = DC state),
+    "ssb" (Re{y}), or "nbfm" (quadrature discriminator via the
+    in-kernel `_atan2`; carry rows 0/1 = previous complex sample, and
+    par[0] carries fs/(2π·max_dev) instead of the AM DC pole).
+    hang_tiles > 0: AGC hang — the peak used by the gain law is the max
+    of the in-tile running peak and the previous `hang_tiles` tile
+    maxima (carried in scratch rows; reset each chunk, matching the XLA
+    `scans.sliding_max` left-edge −inf semantics at tile granularity).
+    """
     r_dc = par_ref[0, 0]
     d = par_ref[1, 0]              # decay per sample (positive dB)
     thresh = par_ref[2, 0]
@@ -108,10 +153,25 @@ def _tail_core(yr, yi, t, par_ref, ramp_ref, audio_ref, st_out_ref, carry,
             carry[row: row + 1, :] = jnp.zeros_like(pw)
         carry[row: row + 1, :] += pw
     n_pows = _n_pows(T)
-    if ssb:
+    if demod == "ssb":
         # USB/LSB/CW: the one-sided passband makes y analytic — audio is
         # the real part; no envelope, no DC block (demod_ssb semantics)
         audio0 = yr
+    elif demod == "nbfm":
+        # quadrature discriminator angle(y[n]·conj(y[n−1]))·scale
+        # (demod_nbfm semantics); carry rows 0/1 hold the previous
+        # complex sample across tiles/chunks, par[0] the ±1-at-±max_dev
+        # scale fs/(2π·max_dev)
+        prev_r = jnp.concatenate([carry[0:1, :], yr[:T - 1, :]], axis=0)
+        prev_i = jnp.concatenate([carry[1:2, :], yi[:T - 1, :]], axis=0)
+        dotp = yr * prev_r + yi * prev_i       # Re{y·conj(prev)}
+        cross = yi * prev_r - yr * prev_i      # Im{y·conj(prev)}
+        mag = jnp.abs(dotp) + jnp.abs(cross)
+        # mute below the numerical floor (demod.NBFM_MUTE_FLOOR): the
+        # angle there is denormal noise that differs across backends
+        audio0 = jnp.where(mag > 1e-12, _atan2(cross, dotp) * r_dc, 0.0)
+        carry[0:1, :] = yr[T - 1: T, :]
+        carry[1:2, :] = yi[T - 1: T, :]
     else:
         env = jnp.sqrt(yr * yr + yi * yi)
         # ---- DC block: y[n] = (env[n] − env[n−1]) + r·y[n−1]
@@ -139,11 +199,47 @@ def _tail_core(yr, yi, t, par_ref, ramp_ref, audio_ref, st_out_ref, carry,
     peak = jnp.maximum(cm, carry[2:3, :] - d) - jd
     carry[2:3, :] = peak[T - 1: T, :]
 
+    peak_used = peak
+    if hang_tiles > 0:
+        # tile-granular hang: the sliding-window max over `hang_window`
+        # samples is approximated by max(in-tile running max, previous
+        # `hang_tiles` tile maxima) — an effective window within
+        # [hang_tiles·T+1, (hang_tiles+1)·T] samples, i.e. never
+        # shorter than the exact window and at most ~2 tiles longer
+        # (tests bound the deviation against the XLA scans.sliding_max
+        # at both window extremes). Ring rows live past the state rows
+        # in the carry scratch; reset each chunk like the XLA
+        # sliding-max's left-edge −inf padding.
+        hang_on = par_ref[8, 0]
+        R0 = st_rows_n
+        KH = hang_tiles
+
+        @pl.when(t == 0)
+        def _():
+            carry[R0: R0 + KH, :] = jnp.full((KH, C), -3.0e38,
+                                             jnp.float32)
+        m1 = _doubling_max(peak, T)          # in-tile running raw max
+        hist = jnp.max(carry[R0: R0 + KH, :], axis=0, keepdims=True)
+        held = jnp.maximum(m1, hist)
+        peak_used = jnp.where(hang_on > 0, held, peak)
+        for k in range(KH - 1):
+            carry[R0 + k: R0 + k + 1, :] = \
+                carry[R0 + k + 1: R0 + k + 2, :]
+        carry[R0 + KH - 1: R0 + KH, :] = m1[T - 1: T, :]
+
+        # state peak carries the HELD value at the chunk end (XLA
+        # agc.apply stores the post-hang peak); intermediate tiles
+        # chain the RAW peak so the decay ballistics match
+        @pl.when(t == n_t - 1)
+        def _():
+            carry[2:3, :] = jnp.where(hang_on > 0, held[T - 1: T, :],
+                                      peak[T - 1: T, :])
+
     # ---- kneed gain law (agc.apply semantics)
     max_gain = target - thresh
-    above = (target - peak) + slope * ((peak - thresh)
-                                       / jnp.maximum(-thresh, 1e-6))
-    auto_gain = jnp.where(peak <= thresh, max_gain, above)
+    above = (target - peak_used) + slope * ((peak_used - thresh)
+                                            / jnp.maximum(-thresh, 1e-6))
+    auto_gain = jnp.where(peak_used <= thresh, max_gain, above)
     gain_db = jnp.where(agc_on > 0, auto_gain, man_gain - 50.0)
 
     # ---- attack smoothing: g[n] = attack·g[n−1] + (1−attack)·gain[n]
@@ -186,7 +282,8 @@ def _tail_core(yr, yi, t, par_ref, ramp_ref, audio_ref, st_out_ref, carry,
                 o = dot(w.astype(jnp.bfloat16), z.astype(jnp.bfloat16))
             audio_ref[b * RB * L:(b + 1) * RB * L, :] = \
                 o.astype(audio_ref.dtype)
-        st_out_ref[:, :] = carry[:, :]
+        st_out_ref[:, :] = carry[0: st_rows_n, :] if hang_tiles \
+            else carry[:, :]
         return
     # VPU form: per phase a PER-tap shifted FMA, interleave via a
     # sublane reshape (jnp.stack does not lower through Mosaic)
@@ -200,15 +297,18 @@ def _tail_core(yr, yi, t, par_ref, ramp_ref, audio_ref, st_out_ref, carry,
     out = jnp.concatenate([ph.reshape(T, 1, C) for ph in phases],
                           axis=1).reshape(T * L, C)
     audio_ref[:] = out.astype(audio_ref.dtype)
-    st_out_ref[:, :] = carry[:, :]
+    st_out_ref[:, :] = carry[0: st_rows_n, :] if hang_tiles \
+        else carry[:, :]
 
 
 def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
             audio_ref, st_out_ref, carry, *, T: int, C: int, n_t: int,
-            L: int, PER: int, taps: tuple, ssb: bool,
-            accum_pow: bool = False):
-    """Grid (c_group, t): par_ref [8,1] SMEM scalars
-    (r_dc, decay_d, thresh, slope, target, man_gain, agc_on, attack);
+            L: int, PER: int, taps: tuple, demod: str,
+            accum_pow: bool = False, hang_tiles: int = 0,
+            st_rows_n: int = 0):
+    """Grid (c_group, t): par_ref [9,1] SMEM scalars
+    (r_dc | nbfm_scale, decay_d, thresh, slope, target, man_gain,
+    agc_on, attack, hang_on);
     ramp_ref [T, 1] iota ramp; yr/yi [T, C] passband planes;
     audio [T·L, C]; st_in/st_out per-group stream state rows:
       0 dc_x, 1 dc_y, 2 peak_db, 3 gain_db, 4.. resample tail (PER-1),
@@ -221,17 +321,19 @@ def _kernel(par_ref, ramp_ref, yr_ref, yi_ref, st_in_ref,
 
     @pl.when(t == 0)
     def _():
-        carry[:, :] = st_in_ref[:, :]
+        carry[0: st_rows_n, :] = st_in_ref[:, :]
 
     _tail_core(yr_ref[:], yi_ref[:], t, par_ref, ramp_ref, audio_ref,
                st_out_ref, carry, T=T, C=C, L=L, PER=PER, taps=taps,
-               ssb=ssb, accum_pow=accum_pow)
+               demod=demod, accum_pow=accum_pow, hang_tiles=hang_tiles,
+               n_t=n_t, st_rows_n=st_rows_n)
 
 
 def _kernel_fir(par_ref, ramp_ref, w2_ref, *args, T: int, C: int,
-                n_t: int, L: int, PER: int, taps: tuple, ssb: bool,
+                n_t: int, L: int, PER: int, taps: tuple, demod: str,
                 accum_pow: bool, B: int, n_prev: int, dot3: bool,
-                RB: int = 0, rs_dot3: bool = False):
+                RB: int = 0, rs_dot3: bool = False,
+                hang_tiles: int = 0, st_rows_n: int = 0):
     if RB:
         (wrs_ref, pbh_r_ref, pbh_i_ref, xr_ref, xi_ref, st_in_ref,
          audio_ref, st_out_ref, carry, win_r, win_i, y_r, y_i,
@@ -262,7 +364,7 @@ def _kernel_fir(par_ref, ramp_ref, w2_ref, *args, T: int, C: int,
 
     @pl.when(t == 0)
     def _():
-        carry[:, :] = st_in_ref[:, :]
+        carry[0: st_rows_n, :] = st_in_ref[:, :]
 
     def x_dma(tt, slot):
         """Async copy of x tile `tt` into window slot `slot` rows
@@ -357,16 +459,17 @@ def _kernel_fir(par_ref, ramp_ref, w2_ref, *args, T: int, C: int,
 
     _tail_core(y_r[:], y_i[:], t, par_ref, ramp_ref, audio_ref,
                st_out_ref, carry, T=T, C=C, L=L, PER=PER, taps=taps,
-               ssb=ssb, accum_pow=accum_pow, wrs_ref=wrs_ref,
-               rs_dot3=rs_dot3, RB=RB)
+               demod=demod, accum_pow=accum_pow, wrs_ref=wrs_ref,
+               rs_dot3=rs_dot3, RB=RB, hang_tiles=hang_tiles,
+               n_t=n_t, st_rows_n=st_rows_n)
 
 
 def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                   params_vec: jax.Array, P: jax.Array, *,
                   tile_t: int = 1024, lane_c: int = 128, L: int = 4,
-                  ssb: bool = False, interpret: bool = False,
+                  demod: str = "am", interpret: bool = False,
                   accum_pow: bool = False, audio_dtype=jnp.float32,
-                  fir: dict | None = None
+                  fir: dict | None = None, hang_window: int = 0
                   ) -> tuple[jax.Array, jax.Array]:
     """Run the fused AM tail.
 
@@ -383,8 +486,13 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                 stream state (rows: dc_x, dc_y, peak_db, gain_db,
                 resample tail[PER−1], then the Σ|y|² accumulator row —
                 per-chunk scratch, reset at t==0, valid on OUTPUT only)
-    params_vec: [8] f32 (r_dc, decay/sample, thresh, slope, target,
-                man_gain, agc_on, attack)
+    params_vec: [9] f32 (r_dc | nbfm_scale, decay/sample, thresh,
+                slope, target, man_gain, agc_on, attack, hang_on);
+                a length-8 vector is padded with hang_on = 0
+    demod:      "am", "ssb" or "nbfm" (see _tail_core)
+    hang_window: AGC hang window in samples (0/1 = off): fused as a
+                tile-granular block-max ring (see _tail_core; window
+                deviation ≤ ~2 tiles, bounded by tests)
     P:          [PER, L] polyphase matrix (resample.plan_interp)
     audio_dtype: output plane dtype — float16/bfloat16 halve the audio
                 HBM write (the largest buffer the pipeline touches);
@@ -412,8 +520,14 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
          jnp.zeros((n_groups, rows - rows_in, lane_c), jnp.float32)],
         axis=1) if rows != rows_in else state_rows.astype(jnp.float32)
     st2d = st_pad.reshape(n_groups * rows, lane_c)
-    par = params_vec.astype(jnp.float32).reshape(8, 1)
+    if params_vec.shape[0] == 8:       # legacy callers: hang_on = 0
+        params_vec = jnp.concatenate(
+            [params_vec, jnp.zeros(1, params_vec.dtype)])
+    par = params_vec.astype(jnp.float32).reshape(9, 1)
     ramp = jnp.arange(tile_t, dtype=jnp.float32).reshape(tile_t, 1)
+    hang_tiles = (-(-(hang_window - 1) // tile_t)
+                  if hang_window and hang_window > 1 else 0)
+    scr_rows = rows + ((hang_tiles + 7) & ~7 if hang_tiles else 0)
     # resample taps are STATIC (they depend only on the rate pair, which
     # is static config) — bake them as compile-time constants; Mosaic
     # miscompiles (opaque 500) when 36 SMEM scalar reads feed the big
@@ -443,9 +557,10 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                                       memory_space=pltpu.VMEM)]
         audio, st_out = pl.pallas_call(
             partial(_kernel_fir, T=tile_t, C=lane_c, n_t=n_t, L=L,
-                    PER=PER, taps=taps, ssb=ssb, accum_pow=accum_pow,
+                    PER=PER, taps=taps, demod=demod, accum_pow=accum_pow,
                     B=B, n_prev=n_prev, dot3=fir["dot3"], RB=RB,
-                    rs_dot3=fir.get("rs_dot3", False)),
+                    rs_dot3=fir.get("rs_dot3", False),
+                    hang_tiles=hang_tiles, st_rows_n=rows),
             out_shape=(
                 jax.ShapeDtypeStruct((chunk * L, M), audio_dtype),
                 jax.ShapeDtypeStruct((n_groups * rows, lane_c),
@@ -477,7 +592,7 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((rows, lane_c), jnp.float32),
+                pltpu.VMEM((scr_rows, lane_c), jnp.float32),
                 pltpu.VMEM((3, PH + tile_t, lane_c), fir["x_r"].dtype),
                 pltpu.VMEM((3, PH + tile_t, lane_c), fir["x_r"].dtype),
                 pltpu.VMEM((tile_t, lane_c), jnp.float32),
@@ -492,14 +607,15 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
 
     audio, st_out = pl.pallas_call(
         partial(_kernel, T=tile_t, C=lane_c, n_t=n_t, L=L, PER=PER,
-                taps=taps, ssb=ssb, accum_pow=accum_pow),
+                taps=taps, demod=demod, accum_pow=accum_pow,
+                hang_tiles=hang_tiles, st_rows_n=rows),
         out_shape=(
             jax.ShapeDtypeStruct((chunk * L, M), audio_dtype),
             jax.ShapeDtypeStruct((n_groups * rows, lane_c), jnp.float32),
         ),
         grid=(n_groups, n_t),
         in_specs=[
-            pl.BlockSpec((8, 1), lambda c, t: (0, 0),
+            pl.BlockSpec((9, 1), lambda c, t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_t, 1), lambda c, t: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -517,7 +633,7 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((rows, lane_c), jnp.float32),
+            pltpu.VMEM((scr_rows, lane_c), jnp.float32),
         ],
         interpret=interpret,
     )(par, ramp, yT_r, yT_i, st2d)

@@ -56,23 +56,28 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
             out_r, out_i, scr_re, scr_im, fold_r, fold_i, y_r, y_i,
             *rest, K: int, T: int, n1: int, n2: int,
             bf16_mxu: bool, n_tiles: int, n_frames: int,
-            in_scale: float = 0.0):
-    """Input comes as the RAW [n_frames, M] planes plus an 8-row "head"
-    holding the K−1 carry rows (zero-padded on top): the kernel stitches
-    the virtual [carry | x | zero-pad] segment itself per tile, so the
-    caller never materializes a padded/concatenated copy of the input —
-    at the bench shape that concat+pad cost ~1.6 ms of pure HBM traffic
-    (the pipeline's largest read).
+            in_scale: float = 0.0, HR: int = 8, n1_out: int = 0):
+    """Input comes as the RAW [n_frames, M] planes plus an HR-row "head"
+    holding the K−1 carry rows (zero-padded on top; HR = K−1 rounded up
+    to a multiple of 8, minimum 8): the kernel stitches the virtual
+    [carry | x | zero-pad] segment itself per tile, so the caller never
+    materializes a padded/concatenated copy of the input — at the bench
+    shape that concat+pad cost ~1.6 ms of pure HBM traffic (the
+    pipeline's largest read).
 
     in_scale > 0: the input planes are int16 (e.g. a 16-bit ADC / the
     KiwiSDR IQ wire format); window DMAs land in an i16 staging buffer
     (rest = s16_r, s16_i, sems) and convert to f32·in_scale in VMEM —
-    the HBM input read is halved. Carry head and all math stay f32."""
+    the HBM input read is halved. Carry head and all math stay f32.
+
+    n1_out > n1: emit `n1_out − n1` ZERO planes after the real ones
+    (padded-planar mesh coupling — the all_to_all's split axis must be
+    divisible by the device count; parallel/sharded_wideband)."""
     i = pl.program_id(0)
     hk = K - 1
-    off = 8 - hk          # virtual segment row v lives at scr row v+off
-                          # (scr rows [off, 8) hold the carry; x tiles
-                          # land at row 8 — every DMA offset/length is
+    off = HR - hk         # virtual segment row v lives at scr row v+off
+                          # (scr rows [off, HR) hold the carry; x tiles
+                          # land at row HR — every DMA offset/length is
                           # 8-aligned, which Mosaic's memref slicing
                           # requires; sub-8 VECTOR reads/writes are fine)
 
@@ -122,32 +127,32 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
                                      scr_im.dtype)
 
     def head():
-        scr_re[0:8, :] = head_r_ref[0:8, :]
-        scr_im[0:8, :] = head_i_ref[0:8, :]
+        scr_re[0:HR, :] = head_r_ref[0:HR, :]
+        scr_im[0:HR, :] = head_i_ref[0:HR, :]
 
     if n_tiles == 1:
         head()
-        dma(0, 8, n_frames)
-        if 8 + T - (8 + n_frames):
-            zero(8 + n_frames, 8 + T)
+        dma(0, HR, n_frames)
+        if HR + T - (HR + n_frames):
+            zero(HR + n_frames, HR + T)
     else:
         # x rows available to the last tile, from the 8-aligned start
-        L8 = n_frames - (n_tiles - 1) * T + 8
+        L8 = n_frames - (n_tiles - 1) * T + HR
 
         @pl.when(i == 0)
         def _():
             head()
-            dma(0, 8, T)
+            dma(0, HR, T)
 
         @pl.when((i > 0) & (i < n_tiles - 1))
         def _():
-            dma(i * T - 8, 0, 8 + T)
+            dma(i * T - HR, 0, HR + T)
 
         @pl.when(i == n_tiles - 1)
         def _():
-            dma(i * T - 8, 0, L8)
-            if 8 + T - L8:
-                zero(L8, 8 + T)
+            dma(i * T - HR, 0, L8)
+            if HR + T - L8:
+                zero(L8, HR + T)
     # K-tap fold (VPU; scratch accumulators keep stack pressure at one
     # live buffer per plane); virtual segment row v = scr row v + off
     fold_r[:] = g_ref[0][None, :] * scr_re[off: off + T, :]
@@ -207,15 +212,26 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
         xr2 = dot3(y2r, c2r) - dot3(y2i, c2i)              # [n1·T, n2]
         xi2 = dot3(y2r, c2i) + dot3(y2i, c2r)
     # reshape splits only the SUBLANE dim (n1·T → n1, T): Mosaic-legal
-    out_r[:] = xr2.reshape(n1, T, n2).astype(out_r.dtype)
-    out_i[:] = xi2.reshape(n1, T, n2).astype(out_i.dtype)
+    if n1_out > n1:
+        # padded-planar coupling: zero planes k1 ∈ [n1, n1_out) written
+        # in-kernel (an XLA concat would re-copy the whole raw buffer)
+        out_r[0:n1] = xr2.reshape(n1, T, n2).astype(out_r.dtype)
+        out_i[0:n1] = xi2.reshape(n1, T, n2).astype(out_i.dtype)
+        z = jnp.zeros((n1_out - n1, T, n2), out_r.dtype)
+        out_r[n1:n1_out] = z
+        out_i[n1:n1_out] = z
+    else:
+        out_r[:] = xr2.reshape(n1, T, n2).astype(out_r.dtype)
+        out_i[:] = xi2.reshape(n1, T, n2).astype(out_i.dtype)
 
 
 def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
                        carry: jax.Array, x: jax.Array, *,
                        tile_t: int = 128, bf16_mxu: bool = True,
                        interpret: bool = False, out_layout: str = "chan",
-                       out_dtype=jnp.float32
+                       out_dtype=jnp.float32,
+                       factors: tuple[int, int] | None = None,
+                       n1_pad: int | None = None
                        ) -> tuple[jax.Array, jax.Array]:
     """Fused channelizer step (traced contexts, critical sampling).
 
@@ -230,6 +246,12 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
     fast path runs time-major with ONE layout rotation total (this
     wrapper's transpose; the per-channel m index is identical in both
     layouts).
+
+    factors: override the DIF (n1, n2) split (n1·n2 == M, n2 a lane
+    multiple) — the mesh picks the factoring whose k1-plane axis the
+    device count divides (parallel/sharded_wideband).
+    n1_pad > n1 (raw3 only): emit `n1_pad − n1` trailing ZERO planes
+    so the raw buffer's plane axis is divisible by the device count.
     """
     from supersdr_tpu.ops import cx as cx_mod
     i16_in = (isinstance(x, tuple)
@@ -244,11 +266,19 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
     M, K = plan.n_chan, plan.taps_per
     if plan.hop != M:
         raise ValueError("fused channelizer requires critical sampling")
-    fac = channelizer._pick_factors(M)
-    if fac is None or fac[1] % 128:
+    fac = factors if factors is not None else channelizer._pick_factors(M)
+    if fac is None or fac[1] % 128 or fac[0] * fac[1] != M:
         raise ValueError("fused channelizer needs n_chan with a "
                          "lane-multiple factor (n2 % 128 == 0)")
     n1, n2 = fac
+    HR = max(8, _round_up8(K - 1))     # head rows (8-aligned DMA unit)
+    if tile_t < HR:
+        raise ValueError(f"tile_t must be >= the {HR}-row history head")
+    n1o = n1 if n1_pad is None else n1_pad
+    if n1o != n1 and out_layout != "raw3":
+        raise ValueError("n1_pad is only for the raw3 coupling")
+    if n1o < n1:
+        raise ValueError("n1_pad must be >= n1")
     n = (re16 if i16_in else xs.re).shape[-1]
     n_frames = n // M
     Ar, Ai, c2r, c2i = channelizer._dif_tables(M, n1, n2)
@@ -273,21 +303,21 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
     else:
         re = xs.re.reshape(n_frames, M)
         im = xs.im.reshape(n_frames, M)
-    # 8-row head: zeros on top, the K−1 carry rows at the bottom
+    # HR-row head: zeros on top, the K−1 carry rows at the bottom
     head_r = jnp.concatenate(
-        [jnp.zeros((8 - (K - 1), M), jnp.float32),
+        [jnp.zeros((HR - (K - 1), M), jnp.float32),
          cs.re.reshape(K - 1, M)], axis=0)
     head_i = jnp.concatenate(
-        [jnp.zeros((8 - (K - 1), M), jnp.float32),
+        [jnp.zeros((HR - (K - 1), M), jnp.float32),
          cs.im.reshape(K - 1, M)], axis=0)
 
     out_r, out_i = pl.pallas_call(
         partial(_kernel, K=K, T=tile_t, n1=n1, n2=n2,
                 bf16_mxu=bf16_mxu, n_tiles=n_tiles, n_frames=n_frames,
-                in_scale=in_scale),
+                in_scale=in_scale, HR=HR, n1_out=n1o),
         out_shape=(
-            jax.ShapeDtypeStruct((n1, n_tiles * tile_t, n2), out_dtype),
-            jax.ShapeDtypeStruct((n1, n_tiles * tile_t, n2), out_dtype),
+            jax.ShapeDtypeStruct((n1o, n_tiles * tile_t, n2), out_dtype),
+            jax.ShapeDtypeStruct((n1o, n_tiles * tile_t, n2), out_dtype),
         ),
         grid=(n_tiles,),
         in_specs=[
@@ -300,28 +330,28 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n2, n2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, M), lambda i: (0, 0),
+            pl.BlockSpec((HR, M), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, M), lambda i: (0, 0),
+            pl.BlockSpec((HR, M), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(
-            pl.BlockSpec((n1, tile_t, n2), lambda i: (0, i, 0),
+            pl.BlockSpec((n1o, tile_t, n2), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n1, tile_t, n2), lambda i: (0, i, 0),
+            pl.BlockSpec((n1o, tile_t, n2), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((8 + tile_t, M), jnp.float32),
-            pltpu.VMEM((8 + tile_t, M), jnp.float32),
+            pltpu.VMEM((HR + tile_t, M), jnp.float32),
+            pltpu.VMEM((HR + tile_t, M), jnp.float32),
             pltpu.VMEM((tile_t, M), jnp.float32),
             pltpu.VMEM((tile_t, M), jnp.float32),
             pltpu.VMEM((n1 * tile_t, n2), jnp.float32),
             pltpu.VMEM((n1 * tile_t, n2), jnp.float32),
-        ] + ([pltpu.VMEM((8 + tile_t, M), jnp.int16),
-              pltpu.VMEM((8 + tile_t, M), jnp.int16)] if i16_in else [])
+        ] + ([pltpu.VMEM((HR + tile_t, M), jnp.int16),
+              pltpu.VMEM((HR + tile_t, M), jnp.int16)] if i16_in else [])
         + [pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(g2.astype(jnp.float32), At_r, At_i, jnp.asarray(c2r),

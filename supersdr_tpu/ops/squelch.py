@@ -73,6 +73,30 @@ def apply_squelch(params: SquelchParams, state: SquelchState,
     return SquelchState(open_=open_now, gain=gain[..., -1]), out
 
 
+def apply_squelch_tmajor(params: SquelchParams, state: SquelchState,
+                         audioT: jax.Array, rssi_db: jax.Array
+                         ) -> tuple[SquelchState, jax.Array]:
+    """Time-major variant: audioT [n, C] (channels on the minor axis),
+    rssi_db [C]. Identical gate/hysteresis/ramp math to `apply_squelch`
+    with the batch and time axes swapped — the layout the fused
+    wideband tail emits."""
+    open_prev = state.open_
+    opens = (rssi_db >= params.thresh_db).astype(jnp.float32)
+    closes = (rssi_db < params.thresh_db - params.hyst_db).astype(jnp.float32)
+    open_now = jnp.clip(open_prev + opens - closes, 0.0, 1.0)
+    open_now = jnp.where(params.enabled > 0, open_now,
+                         jnp.ones_like(open_now))
+
+    n = audioT.shape[0]
+    t = jnp.arange(1, n + 1, dtype=jnp.float32)[:, None]
+    target = open_now[None, :]
+    g0 = state.gain[None, :]
+    ramp = g0 + jnp.sign(target - g0) * params.ramp * t
+    gain = jnp.clip(ramp, jnp.minimum(g0, target), jnp.maximum(g0, target))
+    out = (audioT.astype(jnp.float32) * gain).astype(audioT.dtype)
+    return SquelchState(open_=open_now, gain=gain[-1]), out
+
+
 class BlankerParams(NamedTuple):
     enabled: jax.Array
     thresh_ratio: jax.Array  # envelope / median-envelope trigger

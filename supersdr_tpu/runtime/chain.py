@@ -89,10 +89,11 @@ class ChainConfig:
     tail_impl: str = "xla"      # "pallas": fuse demod+DC+AGC+resample
                                 # into one Mosaic kernel
                                 # (ops/pallas/chain_tail.py). Static
-                                # requirements — AM/USB/LSB/CW, integer
-                                # upsample, no hang, 1-D batch divisible
-                                # by 128, a chunk tile ≤ 1008 — fall
-                                # back to the XLA path otherwise. The
+                                # requirements — AM/USB/LSB/CW/NBFM,
+                                # integer upsample, 1-D batch ≥ 128, a
+                                # chunk tile ≤ 1008 — fall back to the
+                                # XLA path otherwise. Hang is fused as
+                                # a tile-granular block-max ring; the
                                 # squelch gate applies at the audio
                                 # rate (identical when disabled — the
                                 # default; same time-constant when on)
@@ -338,18 +339,36 @@ def _pallas_tail_ok(cfg: ChainConfig, batch: tuple) -> bool:
     # batches ≥128 that aren't lane multiples (e.g. a mesh shard of
     # 2560/8 = 320 channels) run with the channel axis zero-padded to
     # the next multiple of 128; smaller batches take the XLA path (the
-    # padding waste would dominate, and small configs are cheap there)
-    return (cfg.mode.upper() in ("AM", "USB", "LSB", "CW")
+    # padding waste would dominate, and small configs are cheap there).
+    # Since r5 NBFM (in-kernel atan2 discriminator) and the AGC hang
+    # (tile-granular block-max ring) are fused too — enabling them no
+    # longer forfeits the fast tier (VERDICT r4 #3/#5); agc_decimation
+    # stays an XLA-only perf knob.
+    return (cfg.mode.upper() in ("AM", "USB", "LSB", "CW", "NBFM")
             and not cfg.is_rational
-            and not cfg.hang_enabled and cfg.agc_decimation == 1
+            and cfg.agc_decimation == 1
             and len(batch) == 1 and batch[0] >= 128
             and _tail_tile(cfg.chunk, cfg.n_taps) >= 8)
 
 
-def _tail_params_vec(params: ChainParams) -> jax.Array:
+def _tail_demod(cfg: ChainConfig) -> str:
+    m = cfg.mode.upper()
+    return {"AM": "am", "USB": "ssb", "LSB": "ssb", "CW": "ssb",
+            "NBFM": "nbfm"}[m]
+
+
+def _tail_params_vec(params: ChainParams, cfg: ChainConfig | None = None
+                     ) -> jax.Array:
     ag = params.agc
+    # slot 0 is demod-dependent: the AM DC pole, or (NBFM) the
+    # discriminator scale fs/(2π·max_dev) — demod_nbfm semantics
+    if cfg is not None and cfg.mode.upper() == "NBFM":
+        slot0 = jnp.asarray(cfg.iq_rate
+                            / (2.0 * np.pi * cfg.max_dev_hz), jnp.float32)
+    else:
+        slot0 = jnp.asarray(0.999, jnp.float32)
     return jnp.stack([
-        jnp.asarray(0.999, jnp.float32),             # demod_am dc_r
+        slot0,
         jnp.asarray(ag.decay_per_sample_db, jnp.float32),
         jnp.asarray(ag.thresh_db, jnp.float32),
         jnp.asarray(ag.slope_db, jnp.float32),
@@ -357,6 +376,7 @@ def _tail_params_vec(params: ChainParams) -> jax.Array:
         jnp.asarray(ag.man_gain_db, jnp.float32),
         jnp.asarray(ag.on, jnp.float32),
         jnp.asarray(ag.attack_coeff, jnp.float32),
+        jnp.asarray(ag.hang, jnp.float32),           # runtime hang flag
     ])
 
 
@@ -374,7 +394,7 @@ def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
     G = Cp // 128
     PER = cfg.interp_plan.per
     rows = 4 + (PER - 1)
-    params_vec = _tail_params_vec(params)
+    params_vec = _tail_params_vec(params, cfg)
     _, P = resample.plan_interp(
         cfg.upsample, firdesign.lowpass_taps(cfg.iq_rate / 2,
                                              cfg.audio_rate))
@@ -386,9 +406,14 @@ def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
         return jnp.concatenate(
             [a, jnp.zeros((Cp - C,) + a.shape[1:], a.dtype)], axis=0)
 
+    nbfm = cfg.mode.upper() == "NBFM"
+    # carry rows 0/1 are demod-dependent: AM DC state, or (NBFM) the
+    # previous complex sample (demod.last_sample)
+    r0 = state.demod.last_sample.re if nbfm else state.demod.dc_x
+    r1 = state.demod.last_sample.im if nbfm else state.demod.dc_y
     st_rows = jnp.concatenate([
-        cpad(state.demod.dc_x).reshape(G, 1, 128),
-        cpad(state.demod.dc_y).reshape(G, 1, 128),
+        cpad(r0).reshape(G, 1, 128),
+        cpad(r1).reshape(G, 1, 128),
         cpad(state.agc.peak_db).reshape(G, 1, 128),
         cpad(state.agc.gain_db).reshape(G, 1, 128),
         jnp.swapaxes(cpad(state.interp_carry).reshape(G, 128, PER - 1),
@@ -400,8 +425,8 @@ def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
     audioT, st2 = chain_tail.chain_tail_am(
         yTr, yTi, st_rows, params_vec,
         _np.asarray(P), tile_t=_tail_tile(cfg.chunk, cfg.n_taps), L=cfg.upsample,
-        ssb=cfg.mode.upper() in ("USB", "LSB", "CW"),
-        interpret=interpret)
+        demod=_tail_demod(cfg), interpret=interpret,
+        hang_window=(cfg.hang_window if cfg.hang_enabled else 0))
     audio = audioT.T[:C]                              # [C, chunk·L]
 
     # squelch gate at the audio rate (statically compiled out when off,
@@ -415,10 +440,15 @@ def _process_tail_pallas(cfg: ChainConfig, params: ChainParams,
     else:
         sq_state = state.squelch
 
-    dstate = demod_ops.DemodState(
-        last_sample=state.demod.last_sample,
-        dc_x=st2[:, 0, :].reshape(Cp)[:C],
-        dc_y=st2[:, 1, :].reshape(Cp)[:C])
+    o0 = st2[:, 0, :].reshape(Cp)[:C]
+    o1 = st2[:, 1, :].reshape(Cp)[:C]
+    if nbfm:
+        dstate = demod_ops.DemodState(last_sample=cx.CX(o0, o1),
+                                      dc_x=state.demod.dc_x,
+                                      dc_y=state.demod.dc_y)
+    else:
+        dstate = demod_ops.DemodState(
+            last_sample=state.demod.last_sample, dc_x=o0, dc_y=o1)
     astate = agc_ops.AGCState(peak_db=st2[:, 2, :].reshape(Cp)[:C],
                               gain_db=st2[:, 3, :].reshape(Cp)[:C])
     icarry = jnp.swapaxes(st2[:, 4:4 + PER - 1, :], 1, 2).reshape(
@@ -494,7 +524,7 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
     Cp = -(-C // 128) * 128
     G = Cp // 128
     PER = cfg.interp_plan.per
-    params_vec = _tail_params_vec(params)
+    params_vec = _tail_params_vec(params, cfg)
     _, P = resample.plan_interp(
         cfg.upsample, firdesign.lowpass_taps(cfg.iq_rate / 2,
                                              cfg.audio_rate))
@@ -512,9 +542,12 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
         return jnp.concatenate(
             [a, jnp.zeros((Cp - C,) + a.shape[1:], a.dtype)], axis=0)
 
+    nbfm = cfg.mode.upper() == "NBFM"
+    r0 = state.demod.last_sample.re if nbfm else state.demod.dc_x
+    r1 = state.demod.last_sample.im if nbfm else state.demod.dc_y
     st_rows = jnp.concatenate([
-        cpad0(to_planar(state.demod.dc_x)).reshape(G, 1, 128),
-        cpad0(to_planar(state.demod.dc_y)).reshape(G, 1, 128),
+        cpad0(to_planar(r0)).reshape(G, 1, 128),
+        cpad0(to_planar(r1)).reshape(G, 1, 128),
         cpad0(to_planar(state.agc.peak_db)).reshape(G, 1, 128),
         cpad0(to_planar(state.agc.gain_db)).reshape(G, 1, 128),
         jnp.swapaxes(cpad0(to_planar(state.interp_carry)
@@ -567,9 +600,10 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
     audioT, st2 = chain_tail.chain_tail_am(
         xr, xi, st_rows, params_vec,
         _np.asarray(P), tile_t=_tail_tile(cfg.chunk, cfg.n_taps), L=cfg.upsample,
-        ssb=cfg.mode.upper() in ("USB", "LSB", "CW"),
+        demod=_tail_demod(cfg),
         interpret=interpret, accum_pow=True, audio_dtype=audio_dtype,
-        fir=fir)
+        fir=fir, hang_window=(cfg.hang_window if cfg.hang_enabled
+                              else 0))
     audioT = audioT[:, :C]
 
     from supersdr_tpu.ops import smeter as smeter_ops
@@ -578,17 +612,36 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
         10.0 * jnp.log10(jnp.maximum(pw, 1e-30)) + smeter_ops.DEFAULT_CAL_DB,
         smeter_ops.RSSI_FLOOR_DB)[:, None]           # [C, 1]
 
-    dstate = demod_ops.DemodState(
-        last_sample=state.demod.last_sample,
-        dc_x=to_bin(st2[:, 0, :].reshape(Cp)[:C]),
-        dc_y=to_bin(st2[:, 1, :].reshape(Cp)[:C]))
+    # squelch gate at the audio rate from the in-kernel RSSI — the same
+    # post-kernel gate the chan-major path applies, so enabling squelch
+    # no longer forfeits the time-major tier (VERDICT r4 #4); the ramp
+    # rescale keeps the serial 12 kHz gate's time constant
+    if cfg.squelch_enabled:
+        sq = params.squelch._replace(ramp=params.squelch.ramp
+                                     / float(cfg.upsample))
+        sq_planar = jax.tree.map(to_planar, state.squelch)
+        sq2, audioT = squelch_ops.apply_squelch_tmajor(
+            sq, sq_planar, audioT, rssi[:, 0])
+        sq_state = jax.tree.map(to_bin, sq2)
+    else:
+        sq_state = state.squelch
+
+    o0 = to_bin(st2[:, 0, :].reshape(Cp)[:C])
+    o1 = to_bin(st2[:, 1, :].reshape(Cp)[:C])
+    if nbfm:
+        dstate = demod_ops.DemodState(last_sample=cx.CX(o0, o1),
+                                      dc_x=state.demod.dc_x,
+                                      dc_y=state.demod.dc_y)
+    else:
+        dstate = demod_ops.DemodState(
+            last_sample=state.demod.last_sample, dc_x=o0, dc_y=o1)
     astate = agc_ops.AGCState(peak_db=to_bin(st2[:, 2, :].reshape(Cp)[:C]),
                               gain_db=to_bin(st2[:, 3, :].reshape(Cp)[:C]))
     icarry = to_bin(jnp.swapaxes(st2[:, 4:4 + PER - 1, :], 1, 2).reshape(
         Cp, PER - 1)[:C])
     new_state = ChainState(phase=phase, os_carry=os_carry, demod=dstate,
                            agc=astate, interp_carry=icarry,
-                           squelch=state.squelch)
+                           squelch=sq_state)
     return new_state, audioT, rssi
 
 
@@ -706,7 +759,8 @@ def process_traced(cfg: ChainConfig, params: ChainParams, state: ChainState,
             state.demod, y, cfg.iq_rate, params.mode_id, cfg.max_dev_hz)
     else:
         dstate, audio = demod_ops.demodulate(cfg.mode, state.demod, y,
-                                             cfg.iq_rate)
+                                             cfg.iq_rate,
+                                             max_dev_hz=cfg.max_dev_hz)
 
     # 5. AGC
     astate, audio = agc_ops.apply(params.agc, state.agc, audio,

@@ -76,6 +76,15 @@ class WidebandConfig:
     audio_rate: int = 48000
     n_taps: int = 257
     agc_decimation: int = 1             # AGC ballistics decimation (perf)
+    hang_enabled: bool = False          # AGC hang (fused in-kernel since
+                                        # r5 — no tier loss; tile-granular
+                                        # window, see ops/pallas/chain_tail)
+    hang_ms: float = 500.0
+    squelch_enabled: bool = False       # audio-rate squelch gate (fused
+                                        # tiers apply it post-kernel from
+                                        # the in-kernel RSSI — no tier
+                                        # loss since r5)
+    max_dev_hz: float = 5000.0          # NBFM full-scale deviation
     pallas_fold: bool = False           # PFB fold via the Pallas DMA kernel
                                         # instead of the XLA gather (A/B'd
                                         # on-chip in docs/PERFORMANCE.md)
@@ -173,6 +182,10 @@ class WidebandConfig:
                                  os_block=self.chunk_per_chan,
                                  n_taps=self.n_taps,
                                  agc_decimation=self.agc_decimation,
+                                 hang_enabled=self.hang_enabled,
+                                 hang_ms=self.hang_ms,
+                                 squelch_enabled=self.squelch_enabled,
+                                 max_dev_hz=self.max_dev_hz,
                                  nco_enabled=False,
                                  passband_impl=self.passband_impl,
                                  passband_precision=self.passband_precision,
@@ -336,13 +349,25 @@ def _tmajor_fused_ok(cfg: WidebandConfig) -> bool:
             and fac[1] % 128 == 0
             and ccfg.passband_impl == "matmul"
             and ccfg.tail_impl == "pallas"
-            and not ccfg.squelch_enabled
             and chain._pallas_tail_ok(ccfg, (cfg.n_chan,)))
 
 
 def _is_i16_pair(iq) -> bool:
-    return (isinstance(iq, tuple) and not isinstance(iq, cx.CX)
-            and len(iq) == 2)
+    """True for a plain (re_i16, im_i16) tuple. Any other plain 2-tuple
+    of arrays raises: silently quantizing float planes to int16 (the old
+    behavior) collapses a ±1.0-scale signal to ~0 after dequantize
+    (ADVICE r4) — float pairs must come wrapped as cx.CX."""
+    if not (isinstance(iq, tuple) and not isinstance(iq, cx.CX)
+            and len(iq) == 2):
+        return False
+    dt = getattr(iq[0], "dtype", None)       # works on tracers too
+    if dt is None:
+        dt = np.asarray(iq[0]).dtype
+    if np.dtype(dt) != np.int16:
+        raise TypeError(
+            f"plain 2-tuple IQ must be (re_i16, im_i16) int16 planes, got "
+            f"dtype {dt}; wrap float planes as cx.CX(re, im)")
+    return True
 
 
 def _as_f32_cx(iq) -> cx.CX:
@@ -590,10 +615,20 @@ def process_i16(cfg: WidebandConfig, params: WidebandParams,
     return _process_i16_jit(cfg, params, state, (re16, im16))
 
 
-def channel_freqs(cfg: WidebandConfig, center_hz: float = 0.0) -> np.ndarray:
+def channel_freqs(cfg: WidebandConfig, center_hz: float = 0.0,
+                  order: np.ndarray | None = None) -> np.ndarray:
     """Absolute center frequency of each OUTPUT ROW given the capture
-    center (row order follows `audio_channel_order` — identity except
-    on the planar fused path)."""
+    center.
+
+    By default row order follows the SERIAL pipeline's
+    `audio_channel_order` (identity except on the planar fused path).
+    MESH consumers must pass their process fn's own row→bin map —
+    ``channel_freqs(cfg, order=process.channel_order)`` — because
+    `sharded_wideband.build` can emit a different row order than the
+    serial path (bin order on the fallback tiers, a device-count-
+    dependent planar order otherwise; ADVICE r4)."""
     plan = pfb_plan(cfg)
     freqs = center_hz + channelizer.channel_center_freqs(plan, cfg.fs_in)
-    return freqs[audio_channel_order(cfg)]
+    if order is None:
+        order = audio_channel_order(cfg)
+    return freqs[np.asarray(order)]

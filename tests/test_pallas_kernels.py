@@ -166,3 +166,59 @@ def test_fused_chain_tail_upsample_sweep(rng):
             outs[tail] = np.asarray(audio)
         err = np.abs(outs["pallas"] - outs["xla"]).max()
         assert err < 1e-3 * np.abs(outs["xla"]).max(), audio_rate
+
+
+def test_fused_channelizer_long_taps(rng):
+    """taps_per >= 10 (K-1 > 8 carry rows) works: the history head is
+    sized HR = round_up8(K-1) instead of the fixed 8 rows that made any
+    K >= 10 crash at trace time (ADVICE r4)."""
+    import jax
+    import jax.numpy as jnp
+    from supersdr_tpu.ops import channelizer as ch
+    from supersdr_tpu.ops.pallas import channelize_fused as cf
+
+    M, K, nf = 2560, 12, 64
+    plan, proto = ch.design(M, K)
+    W = ch.taps_matrix(plan, proto)
+    carry = jnp.zeros(plan.history, jnp.complex64)
+    x = jnp.asarray((rng.normal(size=M * nf)
+                     + 1j * rng.normal(size=M * nf)).astype(np.complex64))
+    _, ref = ch.channelize_c(plan, W, carry, x)
+    f = jax.jit(lambda c, xx: cf.channelize_fused_c(
+        plan, W, c, xx, bf16_mxu=False, interpret=True, tile_t=32))
+    ca, ya = f(carry, x[: M * (nf // 2)])
+    _, yb = f(ca, x[M * (nf // 2):])
+    got = np.concatenate([np.asarray(ya), np.asarray(yb)], axis=-1)
+    err = float(np.linalg.norm(got - np.asarray(ref))
+                / np.linalg.norm(np.asarray(ref)))
+    assert err < 1e-5, err
+
+
+def test_fused_channelizer_factors_override_and_pad(rng):
+    """The DIF factoring override (n1, n2) = (20, 128) and the raw3
+    zero-plane padding (n1_pad) produce the same channels as the default
+    factoring — the mesh's power-of-two-device planar coupling."""
+    import jax
+    import jax.numpy as jnp
+    from supersdr_tpu.ops import channelizer as ch
+    from supersdr_tpu.ops.pallas import channelize_fused as cf
+
+    M, K, nf = 2560, 8, 64
+    n1, n2, n1p = 20, 128, 24
+    plan, proto = ch.design(M, K)
+    W = ch.taps_matrix(plan, proto)
+    carry = jnp.zeros(plan.history, jnp.complex64)
+    x = jnp.asarray((rng.normal(size=M * nf)
+                     + 1j * rng.normal(size=M * nf)).astype(np.complex64))
+    _, ref = ch.channelize_c(plan, W, carry, x)      # [M(bin), nf]
+    _, (rr, ri) = jax.jit(lambda c, xx: cf.channelize_fused_c(
+        plan, W, c, xx, bf16_mxu=False, interpret=True, tile_t=32,
+        out_layout="raw3", factors=(n1, n2), n1_pad=n1p))(carry, x)
+    rr, ri = np.asarray(rr), np.asarray(ri)
+    assert rr.shape == (n1p, nf, n2)
+    assert np.all(rr[n1:] == 0) and np.all(ri[n1:] == 0)
+    # raw plane (k1, t, k2) holds bin m = k2*n1 + k1
+    got = (rr[:n1] + 1j * ri[:n1]).transpose(2, 0, 1).reshape(M, nf)
+    err = float(np.linalg.norm(got - np.asarray(ref))
+                / np.linalg.norm(np.asarray(ref)))
+    assert err < 1e-5, err

@@ -395,3 +395,18 @@ def test_process_n_matches_serial_calls():
                                   np.asarray(s1.audio))
     np.testing.assert_array_equal(np.asarray(outsn[1]),
                                   np.asarray(s2.audio))
+
+
+def test_i16_pair_dtype_guard():
+    """A plain (re, im) float tuple must raise instead of being silently
+    quantized to int16 (ADVICE r4); int16 pairs still pass."""
+    import jax.numpy as jnp
+    import pytest
+    from supersdr_tpu.runtime import wideband
+
+    re = np.zeros(64, np.float32)
+    with pytest.raises(TypeError, match="int16"):
+        wideband._is_i16_pair((re, re))
+    assert wideband._is_i16_pair((re.astype(np.int16),
+                                  re.astype(np.int16)))
+    assert not wideband._is_i16_pair(jnp.zeros(4))
