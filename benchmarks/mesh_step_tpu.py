@@ -84,6 +84,40 @@ def main():
     print(f"mesh[1-dev] {profile}: step {step_ms:.1f} ms, "
           f"{msps:.0f} Msps/chip")
 
+    # ---- i16 ingest on the mesh (round 5: mesh feature parity) — the
+    # int16 planes stream into the per-shard channelizer kernel DMAs;
+    # validated vs the dequantized-f32 mesh run, then timed.
+    @jax.jit
+    def gen16(key):
+        kr, ki = jax.random.split(key)
+        shp = (cfg.chunk_in,)
+        return ((0.05 * jax.random.normal(kr, shp, jnp.float32)
+                 * 32768.0).astype(jnp.int16),
+                (0.05 * jax.random.normal(ki, shp, jnp.float32)
+                 * 32768.0).astype(jnp.int16))
+
+    iq16 = gen16(jax.random.PRNGKey(1))
+    deq = cx.CX(iq16[0].astype(jnp.float32) / 32768.0,
+                iq16[1].astype(jnp.float32) / 32768.0)
+    _, a16, _ = proc(params, state, iq16)
+    _, af, _ = proc(params, state, deq)
+    n16 = float(jnp.linalg.norm(af.astype(jnp.float32)))
+    d16 = float(jnp.linalg.norm(a16.astype(jnp.float32)
+                                - af.astype(jnp.float32)))
+    snr16 = 20 * np.log10(max(n16, 1e-30) / max(d16, 1e-30))
+    print(f"mesh i16 vs dequantized-f32 SNR {snr16:.1f} dB")
+    assert snr16 > 80.0
+    it16 = max(iters // 2, 4)
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(it16):
+        s, a16, _ = proc(params, s, iq16)
+    stat16 = float(jnp.mean(jnp.abs(a16.astype(jnp.float32))))
+    dt16 = time.perf_counter() - t0
+    assert np.isfinite(stat16) and stat16 > 0
+    print(f"mesh[1-dev] {profile} i16: step {dt16 / it16 * 1e3:.1f} ms, "
+          f"{cfg.chunk_in * it16 / dt16 / 1e6:.0f} Msps/chip")
+
 
 if __name__ == "__main__":
     main()
