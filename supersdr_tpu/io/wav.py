@@ -117,11 +117,15 @@ def read_kiwi_iq_wav(filename: str | Path) -> tuple[np.ndarray, np.ndarray]:
 
 def write_kiwi_iq_wav(filename: str | Path, z: np.ndarray, samplerate: int,
                       frame_len: int = 512, gps_start: float = 1000.0,
-                      true_rate: float | None = None) -> None:
+                      true_rate: float | None = None,
+                      gps_jitter_s: np.ndarray | None = None) -> None:
     """Write a KiwiSDR-format IQ WAV (tests / capture tool).
 
     `true_rate` lets tests emulate clock drift: GNSS timestamps advance at
     frame_len/true_rate even though the header claims `samplerate`.
+    `gps_jitter_s` (per-frame seconds, off-air GPS solution jitter)
+    adds to each frame's timestamp — the reader's EWMA rate estimator
+    (reference kiwi/wavreader.py:88-90) must smooth through it.
     """
     true_rate = true_rate or samplerate
     zi = np.empty(2 * len(z), np.int16)
@@ -134,9 +138,12 @@ def write_kiwi_iq_wav(filename: str | Path, z: np.ndarray, samplerate: int,
     fmt = struct.pack("<HHLLHH", 1, 2, samplerate, samplerate * 4, 4, 16)
     body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
     gps = gps_start
-    for i in range(0, len(z), frame_len):
+    for k, i in enumerate(range(0, len(z), frame_len)):
         seg = zi[2 * i: 2 * (i + frame_len)]
-        kiwi = struct.pack("<BBII", 255, 0, int(gps), int((gps % 1) * 1e9))
+        g = gps
+        if gps_jitter_s is not None:
+            g = gps + float(gps_jitter_s[k % len(gps_jitter_s)])
+        kiwi = struct.pack("<BBII", 255, 0, int(g), int((g % 1) * 1e9))
         body += b"kiwi" + struct.pack("<I", len(kiwi)) + kiwi
         body += b"data" + struct.pack("<I", len(seg) * 2) + seg.tobytes()
         gps += (len(seg) // 2) / true_rate
