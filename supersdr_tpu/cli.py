@@ -125,6 +125,33 @@ def build_parser() -> argparse.ArgumentParser:
     tu.add_argument("--speed", type=float, default=4.0,
                     help="playback speed multiple of realtime")
 
+    mo = sub.add_parser("monitor", help="wideband monitor: channelized "
+                        "band RSSI/activity view + select-to-audio")
+    mo.add_argument("input", nargs="?", default=None,
+                    help="wideband IQ WAV (omit to stream live IQ from "
+                         "--kiwiserver)")
+    mo.add_argument("--n-chan", type=int, default=100)
+    mo.add_argument("--mode", default="AM",
+                    choices=["AM", "USB", "LSB", "CW", "NBFM"])
+    mo.add_argument("--thresh", type=float, default=-90.0,
+                    help="activity squelch threshold, RSSI dB")
+    mo.add_argument("--select", type=float, default=None,
+                    help="select the channel nearest this kHz offset")
+    mo.add_argument("--record", default=None,
+                    help="record the selected channel's audio to WAV")
+    mo.add_argument("--headless", action="store_true",
+                    help="no TTY UI; print table snapshots")
+    mo.add_argument("--max-chunks", type=int, default=0)
+    mo.add_argument("--print-every", type=int, default=4)
+    mo.add_argument("--rate", type=int, default=12000,
+                    help="live mode: per-channel IQ rate (fs_in/n_chan)")
+    mo.add_argument("--frames", type=int, default=0,
+                    help="live mode: stop after N SND frames (0 = run)")
+    mo.add_argument("-s", "--kiwiserver", default="kiwisdr.local")
+    mo.add_argument("-p", "--kiwiport", type=int, default=8073)
+    mo.add_argument("-w", "--password", default="")
+    mo.add_argument("-f", "--freq", type=float, default=10000.0)
+
     sub.add_parser("bench", help="run the single-chip benchmark")
     return ap
 
@@ -268,6 +295,12 @@ def cmd_bench(args) -> int:
     return 0
 
 
+def cmd_monitor(args) -> int:
+    from supersdr_tpu.apps.monitor import run_monitor
+
+    return run_monitor(args)
+
+
 def cmd_tui(args) -> int:
     from supersdr_tpu.apps.tui import run_tui_wav
 
@@ -281,7 +314,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     return {"demod": cmd_demod, "waterfall": cmd_waterfall,
             "wideband": cmd_wideband, "kiwi": cmd_kiwi,
-            "bench": cmd_bench, "tui": cmd_tui}[args.cmd](args)
+            "bench": cmd_bench, "tui": cmd_tui,
+            "monitor": cmd_monitor}[args.cmd](args)
 
 
 if __name__ == "__main__":
