@@ -72,6 +72,8 @@ MID = dict(fs_in=30_720_000, n_chan=2560, chunk_in=2560 * 512, mode="AM",
            taps_per=8, n_taps=257, audio_rate=48_000)
 MID_SSB = dict(fs_in=30_720_000, n_chan=2560, chunk_in=2560 * 512,
                mode="USB", taps_per=8, n_taps=257, audio_rate=48_000)
+MID_NBFM = dict(fs_in=30_720_000, n_chan=2560, chunk_in=2560 * 512,
+                mode="NBFM", taps_per=8, n_taps=257, audio_rate=48_000)
 HEADLINE = dict(fs_in=30_720_000, n_chan=2560,
                 chunk_in=2560 * (16384 - 256), mode="AM",
                 taps_per=8, n_taps=257, audio_rate=48_000)
@@ -159,13 +161,98 @@ def _gate(tuning: dict, base_cfg: dict, n_chunks: int, seed: int,
             f"ok_{tag}": ok}
 
 
+_ORACLE_NBFM_SRC = """
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+sys.path.insert(0, {repo!r})
+from supersdr_tpu.runtime import wideband
+d = np.load(sys.argv[1])
+cfg = wideband.WidebandConfig(**{cfg!r})
+params = wideband.make_params(cfg, agc_kwargs=dict(on=False))
+state = wideband.init_state(cfg)
+_, audio = wideband.process_many(cfg, params, state, d["iq"])
+np.savez(sys.argv[2], audio=np.asarray(audio))
+"""
+
+
+def _nbfm_input(seed: int):
+    """FM carriers at 16 channel centers (Carson-safe deviation — the
+    discriminator wraps at +/-fs_chan/2) over a -52 dB noise floor.
+    An all-noise input would gate CONDITIONING, not kernels: the angle
+    of a near-zero sample is ill-defined and diverges across correct
+    implementations."""
+    C, n = MID_NBFM["n_chan"], MID_NBFM["chunk_in"]
+    fs = MID_NBFM["fs_in"]
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / fs
+    z = 0.01 * (rng.normal(size=n) + 1j * rng.normal(size=n))
+    kbins = rng.choice(C, size=16, replace=False)
+    for k in kbins:
+        fk = (k if k < C // 2 else k - C) * (fs / C)
+        g = rng.uniform(300.0, 1000.0)
+        beta = rng.uniform(1.0, 2.5)
+        z = z + 0.4 * np.exp(1j * (2 * np.pi * fk * t
+                                   + beta * np.sin(2 * np.pi * g * t)))
+    return z.astype(np.complex64)[None, :], kbins
+
+
+def _gate_nbfm(tuning: dict, seed: int = 6) -> dict:
+    """NBFM at the headline channel count vs the plain-path CPU oracle
+    (VERDICT r4 #3). AGC runs MANUAL: with AGC on, both pipelines
+    amplify the (ill-conditioned, implementation-divergent) FIR-rampup
+    angle garbage into the tracked peak, and the 4 s decay carries that
+    divergence through the whole window — the gate would measure the
+    transient, not the kernels. Compared on the carrier-bearing rows
+    past the FIR+attack transient."""
+    from supersdr_tpu.runtime import wideband
+
+    tag = "midnbfm"
+    if tag in _oracle_refs:
+        iq, kbins, ref = _oracle_refs[tag]
+    else:
+        iq, kbins = _nbfm_input(seed)
+        inp = f"/tmp/bench_oracle_in_{tag}.npz"
+        outp = f"/tmp/bench_oracle_out_{tag}.npz"
+        np.savez(inp, iq=iq)
+        src = _ORACLE_NBFM_SRC.format(repo=_REPO, cfg=MID_NBFM)
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        subprocess.run([sys.executable, "-c", src, inp, outp], check=True,
+                       env=env, timeout=1800)
+        ref = np.load(outp)["audio"]
+        _oracle_refs[tag] = (iq, kbins, ref)
+    cfg = wideband.WidebandConfig(**MID_NBFM, **tuning)
+    params = wideband.make_params(cfg, agc_kwargs=dict(on=False))
+    state = wideband.init_state(cfg)
+    _, audio = wideband.process_many(cfg, params, state, iq)
+    got = np.asarray(audio).astype(np.float32)
+    if tuning.get("time_major"):
+        got = np.swapaxes(got, -1, -2)
+    order = wideband.audio_channel_order(cfg)
+    r = ref[:, order, :]
+    rows = np.asarray([int(np.argwhere(order == k)[0, 0]) for k in kbins])
+    S = 1280                       # skip the FIR + attack transient
+    rg, gg = r[:, rows, S:], got[:, rows, S:]
+    snr = _snr_db(rg, gg)
+    ok = bool(np.isfinite(gg).all()) and float(np.abs(gg).mean()) > 0 \
+        and snr >= 50.0
+    return {"oracle_snr_db_midnbfm": round(float(snr), 1),
+            "audio_mean_abs_midnbfm": round(float(np.abs(gg).mean()), 6),
+            "ok_midnbfm": ok}
+
+
 def integrity_check(tuning: dict) -> dict:
     small = _gate(tuning, SMALL, n_chunks=2, seed=0, tag="small")
     mid = _gate(tuning, MID, n_chunks=1, seed=2, tag="mid")
     ssb = _gate(tuning, MID_SSB, n_chunks=1, seed=4, tag="midssb")
+    nbfm = _gate_nbfm(tuning)
     ok = small.pop("ok_small") and mid.pop("ok_mid") \
-        and ssb.pop("ok_midssb")
-    return {"integrity": "pass" if ok else "fail", **small, **mid, **ssb}
+        and ssb.pop("ok_midssb") and nbfm.pop("ok_midnbfm")
+    return {"integrity": "pass" if ok else "fail", **small, **mid, **ssb,
+            **nbfm}
 
 
 def measure(tuning: dict) -> dict:

@@ -106,17 +106,36 @@ def chain_comm_model(cfg, n_time: int, n_chan_local: int = 1) -> dict:
 def wideband_comm_model(cfg, d: int) -> dict:
     """Per-device received bytes per chunk for the sharded wideband
     pipeline (parallel/sharded_wideband.py): PFB history halo + the
-    all-to-all reshard (the one volume collective) + the carry gather."""
+    all-to-all reshard (the one volume collective) + the carry gather.
+
+    On the planar tiers the a2a moves the raw [n1_pad, f_local, n2]
+    k1-plane buffer — two real planes in the coupling dtype (bf16 on
+    the fast profile), INCLUDING the zero padding planes a
+    non-dividing device count requires (r5) — instead of a complex-f32
+    chans buffer."""
+    from supersdr_tpu.parallel import sharded_wideband as sw
     from supersdr_tpu.runtime import wideband as wb
     plan = wb.pfb_plan(cfg)
     halo = plan.history * 8                       # PFB history, complex
     frames_local = cfg.chunk_in // d // plan.hop
-    # tiled all-to-all: each device keeps 1/d of its block and receives
-    # (d-1)/d of a [n_chan, frames_local] complex buffer
-    a2a = cfg.n_chan * frames_local * 8 * (d - 1) // d
+    pf = sw._planar_factors_for(cfg.n_chan, d)
+    planar = (cfg.time_major and wb._tmajor_fused_ok(cfg)
+              and pf is not None
+              and (pf[2] * pf[1] - cfg.n_chan) / cfg.n_chan
+              <= sw.PLANAR_WASTE_MAX)
+    if planar:
+        n1, n2, n1_pad = pf
+        bpp = (2 if (cfg.chan_precision == "default"
+                     and cfg.passband_precision == "default") else 4)
+        a2a = n1_pad * n2 * frames_local * 2 * bpp * (d - 1) // d
+    else:
+        # tiled all-to-all of a [n_chan, frames_local] complex buffer
+        a2a = cfg.n_chan * frames_local * 8 * (d - 1) // d
     carry_gather = d * plan.history * 8           # pfb carry all-gather
     return {"halo_bytes": halo, "all_to_all_bytes": a2a,
-            "carry_bytes": carry_gather,
+            "carry_bytes": carry_gather, "planar": planar,
+            "pad_frac": ((pf[2] * pf[1] - cfg.n_chan) / cfg.n_chan
+                         if planar else 0.0),
             "total_bytes": halo + a2a + carry_gather}
 
 

@@ -385,6 +385,9 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
         return st, audios[0], rssi
 
     process.process_n = process_n
+    # the jitted mesh program for HLO inspection (tests/comm model):
+    # kinds = per-chunk input kind tuple, e.g. ("cx",) or ("i16", "cx")
+    process.get_jitted = _get
     # audio/rssi row -> PFB bin map for THIS process fn: planar order
     # of the MESH's factoring on the planar tier, bin order otherwise
     process.channel_order = order

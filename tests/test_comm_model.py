@@ -13,6 +13,8 @@ from supersdr_tpu.runtime import chain, wideband
 
 
 def _inner_jit(proc):
+    if hasattr(proc, "get_jitted"):      # sharded_wideband (lazy jits)
+        return proc.get_jitted(("cx",))
     return next(c.cell_contents for c in proc.__closure__
                 if hasattr(c.cell_contents, "lower"))
 
@@ -64,7 +66,7 @@ def test_wideband_all_to_all_dominates_and_matches():
     p = wideband.make_params(cfg)
     s = wideband.init_state(cfg)
     iq = cx.as_cx(np.zeros(cfg.chunk_in, np.complex64))
-    txt = comm_model.lower_hlo(_inner_jit(proc), p, s, iq)
+    txt = comm_model.lower_hlo(_inner_jit(proc), p, s, (iq,))
     stats = comm_model.collective_bytes_from_hlo(txt)
     model = comm_model.wideband_comm_model(cfg, d)
     assert stats.counts.get("all-to-all", 0) >= 1
@@ -127,7 +129,7 @@ def test_tmajor_mesh_collectives_and_projection():
     p = wideband.make_params(cfg)
     iq = cx.as_cx(np.zeros(cfg.chunk_in, np.complex64))
     txt = comm_model.lower_hlo(_inner_jit(proc), p,
-                               wideband.init_state(cfg), iq)
+                               wideband.init_state(cfg), (iq,))
     stats = comm_model.collective_bytes_from_hlo(txt)
     assert stats.counts.get("all-to-all", 0) >= 1
     model = comm_model.wideband_comm_model(cfg, d)
