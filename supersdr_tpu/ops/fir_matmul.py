@@ -195,6 +195,33 @@ def build_w_free(B: int, n_prev: int, taps: np.ndarray) -> np.ndarray:
     return np.block([[wr, wi], [-wi, wr]]).astype(np.float32)
 
 
+def build_w_free_real(B: int, n_prev: int, taps: np.ndarray) -> np.ndarray:
+    """[W, B] REAL Toeplitz matrix (W = (n_prev+1)·B) for symmetric
+    passbands whose taps are real (AM/NBFM defaults): y.re = h*x.re and
+    y.im = h*x.im separately — HALF the MACs of the complex-folded
+    [2W, 2B] form, whose off-diagonal blocks are all zero for real h.
+    Wt[s, o] = h[o − s + p], same indexing as `build_w_free`."""
+    taps = np.asarray(taps)
+    if np.abs(np.imag(taps)).max() > 1e-10 * np.abs(taps).max():
+        raise ValueError("build_w_free_real needs (numerically) real taps")
+    h = np.real(taps)
+    K = len(h)
+    S = (n_prev + 1) * B
+    p = n_prev * B
+    o = np.arange(B)[None, :]
+    s_ = np.arange(S)[:, None]
+    k = o - s_ + p
+    valid = (k >= 0) & (k < K)
+    kc = np.clip(k, 0, K - 1)
+    return np.where(valid, h[kc], 0.0).astype(np.float32)
+
+
+def taps_are_real(taps: np.ndarray) -> bool:
+    taps = np.asarray(taps)
+    return bool(np.abs(np.imag(taps)).max()
+                <= 1e-10 * max(float(np.abs(taps).max()), 1e-30))
+
+
 def tail_fir_block(chunk: int, n_taps: int, tile_t: int
                    ) -> tuple[int, int] | None:
     """Pick (B, n_prev) for the in-tail fused passband, minimizing the

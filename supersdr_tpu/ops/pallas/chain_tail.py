@@ -333,7 +333,8 @@ def _kernel_fir(par_ref, ramp_ref, w2_ref, *args, T: int, C: int,
                 n_t: int, L: int, PER: int, taps: tuple, demod: str,
                 accum_pow: bool, B: int, n_prev: int, dot3: bool,
                 RB: int = 0, rs_dot3: bool = False,
-                hang_tiles: int = 0, st_rows_n: int = 0):
+                hang_tiles: int = 0, st_rows_n: int = 0,
+                fir_real: bool = False):
     if RB:
         (wrs_ref, pbh_r_ref, pbh_i_ref, xr_ref, xi_ref, st_in_ref,
          audio_ref, st_out_ref, carry, win_r, win_i, y_r, y_i,
@@ -433,29 +434,40 @@ def _kernel_fir(par_ref, ramp_ref, w2_ref, *args, T: int, C: int,
     dot = partial(jax.lax.dot_general,
                   dimension_numbers=(((0,), (0,)), ((), ())),
                   preferred_element_type=jnp.float32)
-    for b in range(T // B):
-        z = jnp.concatenate([win_r[slot, b * B: b * B + W, :],
-                             win_i[slot, b * B: b * B + W, :]],
-                            axis=0)
-        w2 = w2_ref[:]
+
+    def split(v):
+        hi = v.astype(jnp.bfloat16)
+        lo = (v.astype(jnp.float32)
+              - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return hi, lo
+
+    def fdot(w, z):
         if dot3:
             # ~f32: manual split-bf16 ×3 (see channelize_fused stage B —
             # Mosaic's MXU rounds f32 operands to bf16, and nothing
             # folds the convert round-trip away, so the split holds).
             # Requires f32 windows (a bf16 source has no lo plane).
-            def split(v):
-                hi = v.astype(jnp.bfloat16)
-                lo = (v.astype(jnp.float32)
-                      - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                return hi, lo
-
-            wh, wl = split(w2)
+            wh, wl = split(w)
             zh, zl = split(z)
-            o = dot(wh, zh) + dot(wh, zl) + dot(wl, zh)
+            return dot(wh, zh) + dot(wh, zl) + dot(wl, zh)
+        return dot(w.astype(jnp.bfloat16), z.astype(jnp.bfloat16))
+
+    for b in range(T // B):
+        w2 = w2_ref[:]
+        if fir_real:
+            # real symmetric-passband taps: y.re/y.im filter separately
+            # with the [W, B] real matrix — HALF the complex form's MACs
+            y_r[b * B:(b + 1) * B, :] = \
+                fdot(w2, win_r[slot, b * B: b * B + W, :])
+            y_i[b * B:(b + 1) * B, :] = \
+                fdot(w2, win_i[slot, b * B: b * B + W, :])
         else:
-            o = dot(w2.astype(jnp.bfloat16), z.astype(jnp.bfloat16))
-        y_r[b * B:(b + 1) * B, :] = o[:B]
-        y_i[b * B:(b + 1) * B, :] = o[B:]
+            z = jnp.concatenate([win_r[slot, b * B: b * B + W, :],
+                                 win_i[slot, b * B: b * B + W, :]],
+                                axis=0)
+            o = fdot(w2, z)
+            y_r[b * B:(b + 1) * B, :] = o[:B]
+            y_i[b * B:(b + 1) * B, :] = o[B:]
 
     _tail_core(y_r[:], y_i[:], t, par_ref, ramp_ref, audio_ref,
                st_out_ref, carry, T=T, C=C, L=L, PER=PER, taps=taps,
@@ -560,7 +572,8 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                     PER=PER, taps=taps, demod=demod, accum_pow=accum_pow,
                     B=B, n_prev=n_prev, dot3=fir["dot3"], RB=RB,
                     rs_dot3=fir.get("rs_dot3", False),
-                    hang_tiles=hang_tiles, st_rows_n=rows),
+                    hang_tiles=hang_tiles, st_rows_n=rows,
+                    fir_real=fir.get("real", False)),
             out_shape=(
                 jax.ShapeDtypeStruct((chunk * L, M), audio_dtype),
                 jax.ShapeDtypeStruct((n_groups * rows, lane_c),
@@ -572,7 +585,7 @@ def chain_tail_am(yT_r: jax.Array, yT_i: jax.Array, state_rows: jax.Array,
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((tile_t, 1), lambda c, t: (0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((2 * (n_prev + 1) * B, 2 * B),
+                pl.BlockSpec(tuple(fir["w2"].shape),
                              lambda c, t: (0, 0),
                              memory_space=pltpu.VMEM),
             ] + wrs_specs + [

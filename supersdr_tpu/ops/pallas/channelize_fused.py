@@ -204,9 +204,20 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
             lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             return hi, lo
 
+        import os as _os
+        two_dot = _os.environ.get("SSDR_STAGEB_2DOT", "0") == "1"
+
         def dot3(a, b):
             ah, al = split(a)
             bh, bl = split(b)
+            if two_dot:
+                # same three partial products in TWO MXU ops: the
+                # cross terms ah·bl + al·bh ride one stacked dot with
+                # a 2·n2 contraction (r5 probe of VERDICT r3 #3's
+                # "stage-B split" idea at the instruction level)
+                a2 = jnp.concatenate([ah, al], axis=1)
+                b2 = jnp.concatenate([bl, bh], axis=0)
+                return dot(ah, bh) + dot(a2, b2)
             return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
 
         xr2 = dot3(y2r, c2r) - dot3(y2i, c2i)              # [n1·T, n2]

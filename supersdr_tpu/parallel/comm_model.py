@@ -131,7 +131,8 @@ def wideband_comm_model(cfg, d: int) -> dict:
     else:
         # tiled all-to-all of a [n_chan, frames_local] complex buffer
         a2a = cfg.n_chan * frames_local * 8 * (d - 1) // d
-    carry_gather = d * plan.history * 8           # pfb carry all-gather
+    carry_gather = plan.history * 8   # pfb-carry fan-out ppermute (r5:
+                                      # was a d·history all_gather)
     return {"halo_bytes": halo, "all_to_all_bytes": a2a,
             "carry_bytes": carry_gather, "planar": planar,
             "pad_frac": ((pf[2] * pf[1] - cfg.n_chan) / cfg.n_chan

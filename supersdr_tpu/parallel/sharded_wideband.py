@@ -153,6 +153,30 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
     def dequant(v16):
         return v16.astype(jnp.float32) * I16_SCALE
 
+    def bcast_last(v: cx.CX) -> cx.CX:
+        """Broadcast the LAST shard's PFB tail to every device via a
+        binomial ppermute tree (log₂ d rounds; ppermute forbids fan-out
+        pairs) instead of an all_gather — received bytes stay
+        O(history) per device instead of O(d·history), killing the d²
+        term the α-β table surfaced (r5)."""
+        if d == 1:
+            return v
+        idx = jax.lax.axis_index(AXIS)
+        rp = (d - 1) - idx          # relabeled rank: source is rp == 0
+
+        def one(x):
+            cur = x
+            step = 1
+            while step < d:
+                perm = [(d - 1 - sp, d - 1 - (sp + step))
+                        for sp in range(step) if sp + step < d]
+                recv = jax.lax.ppermute(cur, AXIS, perm=perm)
+                cur = jnp.where((rp >= step) & (rp < 2 * step), recv, cur)
+                step *= 2
+            return cur
+
+        return cx.CX(one(v.re), one(v.im))
+
     def halo_head(state, re_like, im_like):
         """History head for this shard's channelizer: multi-hop halo
         from the left (f32 CX either way — i16 halos dequantize; the
@@ -215,8 +239,7 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
                 ccfg, params.chain, state.chain, state.chain.phase,
                 None, os_carry, audio_dtype=wb._audio_np_dtype(cfg),
                 fir_x3=(raw_r, raw_i), chan_order=np.arange(c_loc))
-            last = jax.lax.all_gather(pfb_tail, AXIS)
-            last = cx.CX(last.re[d - 1], last.im[d - 1])
+            last = bcast_last(pfb_tail)
             return (wb.WidebandState(pfb_carry=last, chain=cstate),
                     audioT, rssi)
 
@@ -257,8 +280,7 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
                 cstate, audioT, rssi = chain_mod.process_tail_tmajor(
                     ccfg, params.chain, state.chain, state.chain.phase,
                     yT, os_carry, audio_dtype=wb._audio_np_dtype(cfg))
-            last = jax.lax.all_gather(pfb_tail, AXIS)
-            last = cx.CX(last.re[d - 1], last.im[d - 1])
+            last = bcast_last(pfb_tail)
             return (wb.WidebandState(pfb_carry=last, chain=cstate),
                     audioT, rssi)
 
@@ -279,8 +301,7 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
             # keep the time-major output contract on the fallback tier
             audio = jnp.swapaxes(audio, -1, -2).astype(
                 wb._audio_np_dtype(cfg))
-        last = jax.lax.all_gather(pfb_tail, AXIS)
-        last = cx.CX(last.re[d - 1], last.im[d - 1])
+        last = bcast_last(pfb_tail)
         return (wb.WidebandState(pfb_carry=last, chain=cstate),
                 audio, out.rssi)
 

@@ -286,8 +286,16 @@ def make_params(cfg: ChainConfig,
                                        _tail_tile(cfg.chunk, cfg.n_taps))
         if bn is not None:
             B, n_prev = bn
-            W_tailpass = jnp.asarray(
-                fir_matmul.build_w_free(B, n_prev, taps))
+            if fir_matmul.taps_are_real(taps):
+                # symmetric passband (AM/NBFM defaults): the complex-
+                # folded matrix is block-diagonal with zero off-blocks —
+                # the REAL [W, B] form halves the in-kernel FIR MACs
+                # (r5 quality-gap work, docs/PERFORMANCE.md)
+                W_tailpass = jnp.asarray(
+                    fir_matmul.build_w_free_real(B, n_prev, taps))
+            else:
+                W_tailpass = jnp.asarray(
+                    fir_matmul.build_w_free(B, n_prev, taps))
     return ChainParams(nco=nco, H_pass=H, P_interp=jnp.asarray(P, jnp.float32),
                        agc=agc_p,
                        squelch=squelch_ops.make_squelch(**(squelch_kwargs or {})),
@@ -563,8 +571,13 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
     if fir_x is not None or fir_x3 is not None:
         if params.W_tailpass is None:
             raise ValueError("fir_x given but params.W_tailpass missing")
-        B = params.W_tailpass.shape[1] // 2
-        n_prev = params.W_tailpass.shape[0] // (2 * B) - 1
+        # [W, B] real form vs [2W, 2B] complex-folded form: the real
+        # matrix is recognized by bn (the static block plan) — both
+        # share (B, n_prev), the real one has half the rows AND cols
+        bn = fir_matmul.tail_fir_block(cfg.chunk, cfg.n_taps,
+                                       _tail_tile(cfg.chunk, cfg.n_taps))
+        B, n_prev = bn
+        fir_real = params.W_tailpass.shape[1] == B
         PH = n_prev * B
         ov = cfg.n_taps - 1
         if fir_x3 is not None:
@@ -585,7 +598,8 @@ def process_tail_tmajor(cfg: ChainConfig, params: ChainParams,
             axis=0)
         fir = dict(w2=params.W_tailpass, head_r=head_r, head_i=head_i,
                    x_r=fxr, x_i=fxi, B=B, n_prev=n_prev,
-                   dot3=(cfg.passband_precision != "default"))
+                   dot3=(cfg.passband_precision != "default"),
+                   real=fir_real)
         if cfg.resample_impl == "matmul":
             # resample on the MXU too (blocked-Toeplitz; the interleave
             # rides the matmul row order) — "fma" keeps the VPU form

@@ -29,9 +29,9 @@ from supersdr_tpu.runtime import chain
 # tile, kernel-stitched input windows) and the FIR-fused chain tail
 # (ops/pallas/chain_tail.py: Toeplitz passband + demod + DC + AGC +
 # resample, triple-buffered window DMAs, in-kernel RSSI):
-# "fast" = 6102 Msps/chip at ~54 dB oracle audio SNR (1-pass bf16 MXU;
-# 6636 Msps at int16 ingest);
-# "quality" = 4200 Msps at ~82 dB (split-bf16 ×3 in-kernel dots — the
+# "fast" = 7746 Msps/chip at ~54 dB oracle audio SNR (1-pass bf16 MXU;
+# 8861 Msps at int16 ingest; round 5);
+# "quality" = 5179 Msps at ~82 dB (split-bf16 ×3 in-kernel dots — the
 # precision trick XLA folds away but Mosaic preserves). The kernels
 # need a working Mosaic toolchain and lane-multiple n_chan factors;
 # other shapes fall back to the XLA paths automatically (the SMALL
