@@ -115,6 +115,18 @@ void be16_iq_to_c64(const uint8_t* data, int64_t n_pairs, float scale,
   }
 }
 
+// Interleaved big-endian I/Q int16 pairs -> SPLIT little-endian int16
+// planes (re[], im[]) — the wideband pipeline's int16 ingest format
+// (process_i16 / i16 chunks): wire bytes land device-ready with no
+// float conversion and HALF the host->device transfer of complex64.
+void be16_iq_split_i16(const uint8_t* data, int64_t n_pairs,
+                       int16_t* re, int16_t* im) {
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    re[i] = (int16_t)((data[4 * i] << 8) | data[4 * i + 1]);
+    im[i] = (int16_t)((data[4 * i + 2] << 8) | data[4 * i + 3]);
+  }
+}
+
 // ------------------------------------------------------- RFC6455 masking
 
 void xor_mask(uint8_t* data, int64_t n, const uint8_t* mask4) {

@@ -56,7 +56,10 @@ class MonitorCore:
         self.state = wideband.init_state(cfg)
         if self.process_fn is None:
             def _serial(params, state, iq):
-                st, out = wideband.process(cfg, params, state, iq)
+                if isinstance(iq, tuple):        # (re_i16, im_i16) wire
+                    st, out = wideband.process_i16(cfg, params, state, iq)
+                else:
+                    st, out = wideband.process(cfg, params, state, iq)
                 return st, out.audio, out.rssi
             self.process_fn = _serial
             self.channel_order = wideband.audio_channel_order(cfg)
@@ -201,7 +204,7 @@ def _kiwi_source(args, cfg: wideband.WidebandConfig):
     client.connect()
     client.setup_sound("IQ", -5000, 5000, getattr(args, "freq", 10000.0))
     first = client.wait_for_stream()
-    buf = np.zeros(0, np.complex64)
+    buf = (np.zeros(0, np.int16), np.zeros(0, np.int16))
     pending = [first]
     n_frames = 0
     max_frames = getattr(args, "frames", 0)
@@ -216,19 +219,22 @@ def _kiwi_source(args, cfg: wideband.WidebandConfig):
                 if not isinstance(msg, kp.SndFrame):
                     continue
                 frame = msg
-            kind, _gps, z = client.snd_samples(frame)
-            if kind != "iq":
+            kind, _gps, pl_ = client.snd_samples_i16(frame)
+            if kind != "iq16":
                 continue
             n_frames += 1
             try:
                 client.keepalive()
             except OSError:
                 pass
-            buf = np.concatenate([buf,
-                                  z.astype(np.complex64) / 32768.0])
-            while len(buf) >= cfg.chunk_in:
-                yield buf[:cfg.chunk_in]
-                buf = buf[cfg.chunk_in:]
+            # the wire's int16 planes stay int16 all the way into the
+            # channelizer kernel's window DMAs (r5 native ingest path —
+            # no float conversion, half the host→device transfer)
+            buf = (np.concatenate([buf[0], pl_[0]]),
+                   np.concatenate([buf[1], pl_[1]]))
+            while len(buf[0]) >= cfg.chunk_in:
+                yield (buf[0][:cfg.chunk_in], buf[1][:cfg.chunk_in])
+                buf = (buf[0][cfg.chunk_in:], buf[1][cfg.chunk_in:])
     finally:
         client.close()
 

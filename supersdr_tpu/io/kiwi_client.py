@@ -202,6 +202,16 @@ class KiwiClient:
             return "audio", None, samples
         return "audio", None, frame.audio_int16()
 
+    def snd_samples_i16(self, frame: kp.SndFrame):
+        """IQ frames as INT16 planes: ('iq16', gps, (re_i16, im_i16)) —
+        feed straight into wideband.process_i16 / i16 mesh chunks (the
+        r5 wire→kernel path: no float conversion, half the transfer).
+        Non-IQ frames fall through to `snd_samples`."""
+        if self.modulation == "iq":
+            gps, re, im = frame.iq_samples_i16()
+            return "iq16", gps, (re, im)
+        return self.snd_samples(frame)
+
     def wf_bins(self, frame: kp.WfFrame) -> np.ndarray:
         if self.compression:
             dec = adpcm.decode_np(frame.payload)  # fresh state per row

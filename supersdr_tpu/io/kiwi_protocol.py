@@ -128,6 +128,22 @@ class SndFrame:
         z.imag = s[1::2]
         return gps, z
 
+    def iq_samples_i16(self) -> tuple[dict, np.ndarray, np.ndarray]:
+        """IQ mode, INT16-plane form: (gps, re_i16, im_i16) — the wire
+        samples stay int16 (full-scale ±32768 ≡ ±1.0), device-ready for
+        the wideband pipeline's i16 ingest (`process_i16`) with HALF
+        the host→device bytes of the complex64 form. Native
+        deinterleave when the sdrkit library is available."""
+        sol, dummy, gpssec, gpsnsec = struct.unpack("<BBII", self.payload[:10])
+        gps = {"last_gps_solution": sol, "dummy": dummy,
+               "gpssec": gpssec, "gpsnsec": gpsnsec}
+        from supersdr_tpu import native
+        out = native.be16_iq_split_i16(self.payload[10:])
+        if out is not None:
+            return gps, out[0], out[1]
+        s = np.frombuffer(self.payload[10:], dtype=">h")
+        return gps, s[0::2].astype(np.int16), s[1::2].astype(np.int16)
+
 
 @dataclass
 class WfFrame:

@@ -55,6 +55,7 @@ def load():
     lib.adpcm_encode.argtypes = [i16, ctypes.c_int64, u8, st]
     lib.be16_to_f32.argtypes = [u8, ctypes.c_int64, f32]
     lib.be16_iq_to_c64.argtypes = [u8, ctypes.c_int64, ctypes.c_float, f32]
+    lib.be16_iq_split_i16.argtypes = [u8, ctypes.c_int64, i16, i16]
     lib.xor_mask.argtypes = [u8, ctypes.c_int64, u8]
     lib.rb_create.restype = ctypes.c_void_p
     lib.rb_create.argtypes = [ctypes.c_int64]
@@ -128,6 +129,24 @@ def be16_iq_to_c64(payload: bytes, scale: float = 1.0) -> np.ndarray | None:
     lib.be16_iq_to_c64(_u8ptr(buf), n_pairs, scale,
                        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
     return out.view(np.complex64)
+
+
+def be16_iq_split_i16(payload: bytes
+                      ) -> tuple[np.ndarray, np.ndarray] | None:
+    """Interleaved big-endian IQ int16 wire payload → split (re, im)
+    int16 planes — the wideband `process_i16` ingest format. None when
+    the native library is unavailable (callers fall back to numpy)."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(payload, np.uint8)
+    n_pairs = len(buf) // 4
+    re = np.empty(n_pairs, np.int16)
+    im = np.empty(n_pairs, np.int16)
+    lib.be16_iq_split_i16(_u8ptr(buf), n_pairs,
+                          re.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                          im.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+    return re, im
 
 
 def xor_mask(data: bytearray | np.ndarray, mask: bytes) -> None:
