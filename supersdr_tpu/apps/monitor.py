@@ -22,7 +22,6 @@ it in the ANSI TUI loop for `python -m supersdr_tpu.cli monitor`.
 from __future__ import annotations
 
 import sys
-import time
 from dataclasses import dataclass, field
 
 import numpy as np

@@ -8,7 +8,6 @@ Reference capabilities being covered natively:
 """
 
 import numpy as np
-import pytest
 
 from supersdr_tpu.ops import agc as agc_ops
 from supersdr_tpu.runtime import chain, wideband
@@ -204,3 +203,30 @@ def test_hang_runtime_flag_off_is_transparent():
     a_h = _run_chain(cfg_h, iq, agc_kwargs=dict(hang=False))
     a_0 = _run_chain(cfg_0, iq)
     np.testing.assert_allclose(a_h, a_0, atol=1e-6)
+
+
+def test_nbfm_with_squelch_fused_interaction():
+    """NBFM + squelch together on the fused tier: the discriminator's
+    audio gates on the in-kernel RSSI like AM does (the controls
+    compose; each was verified separately above)."""
+    rng = np.random.default_rng(9)
+    base = dict(fs_in=512 * 12_000, n_chan=512, chunk_in=512 * 512,
+                mode="NBFM", taps_per=4, n_taps=129,
+                squelch_enabled=True)
+    prof = dict(wideband.PROFILES["fast"])
+    cfg = wideband.WidebandConfig(**base, **prof)
+    assert wideband._tmajor_fused_ok(cfg)
+    iq = ((rng.normal(size=(1, base["chunk_in"]))
+           + 1j * rng.normal(size=(1, base["chunk_in"]))) * 0.05
+          ).astype(np.complex64)
+    # closed gate: everything mutes after the ramp
+    p = wideband.make_params(cfg, squelch_kwargs=dict(
+        enabled=True, thresh_db=100.0))
+    _, out = wideband.process_many(cfg, p, wideband.init_state(cfg), iq)
+    a = np.asarray(out, np.float32)
+    assert np.abs(a[-1, -1000:, :]).max() == 0.0
+    # open gate: audio flows
+    p2 = wideband.make_params(cfg, squelch_kwargs=dict(
+        enabled=True, thresh_db=-200.0))
+    _, out2 = wideband.process_many(cfg, p2, wideband.init_state(cfg), iq)
+    assert float(np.abs(np.asarray(out2, np.float32)).mean()) > 0

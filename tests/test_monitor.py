@@ -124,3 +124,35 @@ def test_monitor_live_against_fake_kiwi(tmp_path):
     f = np.fft.rfftfreq(len(a), N_CHAN / (4.0 * FS))
     peak = f[10 + np.argmax(sp[10:])]
     assert abs(peak - 200.0) < 15.0, peak
+
+
+def test_monitor_over_mesh_process():
+    """The monitor runs unmodified over the MESH-sharded pipeline:
+    sharded_wideband.build's process fn (3-tuple return +
+    channel_order) plugs into MonitorCore and the activity list finds
+    the same carriers — BASELINE config 5, sharded, above the library
+    level."""
+    import jax
+
+    from supersdr_tpu.parallel import sharded_wideband
+
+    # chunk divisible by d*n_chan (the mesh constraint)
+    cfg = wideband.WidebandConfig(fs_in=FS, n_chan=N_CHAN,
+                                  chunk_in=3072, mode="AM",
+                                  audio_rate=4 * FS // N_CHAN)
+    mesh = sharded_wideband.make_mesh(jax.devices()[:4])
+    proc = sharded_wideband.build(cfg, mesh)
+    params = wideband.make_params(cfg)
+
+    def process_fn(p, st, iq):
+        return proc(p, st, iq)
+    process_fn.channel_order = proc.channel_order
+
+    core = MonitorCore(cfg, params=params, process_fn=process_fn,
+                       thresh_db=-40.0)
+    z = _wideband_iq(FS)
+    n = (len(z) // cfg.chunk_in) * cfg.chunk_in
+    for i in range(0, n, cfg.chunk_in):
+        core.push(z[i:i + cfg.chunk_in])
+    freqs = sorted(round(f) for _, f, _ in core.activity())
+    assert freqs == [-3000, 1500], core.activity()
