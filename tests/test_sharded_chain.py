@@ -431,3 +431,36 @@ def test_sharded_wideband_process_n_matches_serial_calls():
     _, audios2, _ = proc.process_n(p, wideband.init_state(cfg),
                                    ((re16, im16), iq[1]))
     assert np.isfinite(np.asarray(audios2[0], np.float32)).all()
+
+
+def test_sharded_wideband_fused_controls_on_mesh():
+    """The r5 fused controls survive the mesh: NBFM, squelch and AGC
+    hang run on the planar sharded tiers and match the serial fused
+    pipeline sample-for-sample (same kernels per shard)."""
+    import numpy as np
+    from supersdr_tpu.parallel import sharded_wideband
+    from supersdr_tpu.runtime import wideband
+
+    rng = np.random.default_rng(12)
+    base = dict(fs_in=512 * 12_000, n_chan=512, chunk_in=512 * 256,
+                taps_per=4, n_taps=129)
+    iq = ((rng.normal(size=base["chunk_in"])
+           + 1j * rng.normal(size=base["chunk_in"])) * 0.05
+          ).astype(np.complex64)
+    for extra in (dict(mode="NBFM"),
+                  dict(mode="AM", squelch_enabled=True),
+                  dict(mode="AM", hang_enabled=True, hang_ms=40.0)):
+        cfg = wideband.WidebandConfig(**base, **extra,
+                                      **wideband.PROFILES["fast"])
+        m = sharded_wideband.make_mesh(jax.devices()[:2])
+        proc = sharded_wideband.build(cfg, m)
+        assert proc.planar, extra
+        p = wideband.make_params(cfg)
+        _, audio, _ = proc(p, wideband.init_state(cfg), iq)
+        _, out = wideband.process(cfg, p, wideband.init_state(cfg), iq)
+        got = np.asarray(audio, np.float32)
+        want = np.asarray(out.audio, np.float32)
+        minv = np.argsort(proc.channel_order)
+        sinv = np.argsort(wideband.audio_channel_order(cfg))
+        err = np.abs(got[:, minv] - want[:, sinv]).max()
+        assert err < 1e-4 * max(np.abs(want).max(), 1e-9), (extra, err)
