@@ -106,11 +106,16 @@ def _planar_order(n_chan: int, n1: int, n2: int) -> np.ndarray:
     return (c % n2) * n1 + c // n2
 
 
-def build(cfg: wb.WidebandConfig, mesh: Mesh):
+def build(cfg: wb.WidebandConfig, mesh: Mesh,
+          planar_waste_max: float | None = None):
     """Compile the sharded wideband pipeline.
 
     Constraints: n_devices divides n_chan and chunk_in; the per-device
     input slice must be a multiple of n_chan.
+    `planar_waste_max` overrides `PLANAR_WASTE_MAX` — e.g. a d=16 pod
+    on 2560 channels can OPT INTO the 60 %-padded planar form (and
+    A/B it against the default transposed fallback on real hardware;
+    this environment has one chip, so the cutoff is a model estimate).
     Returns process(params, state, iq[chunk_in]) -> (state, audio, rssi)
     with audio [n_chan, chunk_per_chan·L] channel-sharded (time-major
     configs: [chunk_per_chan·L, n_chan], rows per process.channel_order).
@@ -121,6 +126,8 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
     d = mesh.devices.size
     if cfg.n_chan % d or cfg.chunk_in % (d * cfg.n_chan):
         raise ValueError("n_devices must divide n_chan and chunk_in/n_chan")
+    waste_max = (PLANAR_WASTE_MAX if planar_waste_max is None
+                 else planar_waste_max)
     plan = wb.pfb_plan(cfg)
     # Since round 4 the mesh runs the SAME kernel enum the serial bench
     # ships: Pallas kernels compile and execute under shard_map on this
@@ -142,7 +149,7 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh):
                   and chain_mod._pallas_tail_ok(ccfg, (c_loc,))
                   and c_loc % 128 == 0
                   and tile >= 8 and f_local % 8 == 0
-                  and waste <= PLANAR_WASTE_MAX)
+                  and waste <= waste_max)
     tmajor = (cfg.time_major and wb._tmajor_fused_ok(cfg)
               and chain_mod._pallas_tail_ok(ccfg, (cfg.n_chan // d,))
               and f_local % 8 == 0)

@@ -464,3 +464,35 @@ def test_sharded_wideband_fused_controls_on_mesh():
         sinv = np.argsort(wideband.audio_channel_order(cfg))
         err = np.abs(got[:, minv] - want[:, sinv]).max()
         assert err < 1e-4 * max(np.abs(want).max(), 1e-9), (extra, err)
+
+
+def test_sharded_wideband_waste_override_enables_padded_planar():
+    """`build(..., planar_waste_max=...)` lets a pod opt into a
+    heavily-padded planar form (e.g. d=16 on 2560 channels) — here
+    d=8 on 640 channels (60 % padding, above the default cutoff) runs
+    planar and still matches serial."""
+    import numpy as np
+    from supersdr_tpu.parallel import sharded_wideband
+    from supersdr_tpu.runtime import wideband
+
+    prof = dict(wideband.PROFILES["fast"])
+    prof.update(passband_precision="high", chan_precision="high",
+                chan_tile_t=64)
+    cfg = wideband.WidebandConfig(fs_in=640 * 12_000, n_chan=640,
+                                  chunk_in=640 * 128, mode="AM",
+                                  taps_per=4, n_taps=65, **prof)
+    m = sharded_wideband.make_mesh(jax.devices()[:8])
+    assert not sharded_wideband.build(cfg, m).planar   # default cutoff
+    proc = sharded_wideband.build(cfg, m, planar_waste_max=1.0)
+    assert proc.planar and proc.planar_factors == (5, 128, 8)
+    p = wideband.make_params(cfg)
+    rng = np.random.default_rng(13)
+    iq = ((rng.normal(size=cfg.chunk_in)
+           + 1j * rng.normal(size=cfg.chunk_in)) * 0.05
+          ).astype(np.complex64)
+    _, audio, _ = proc(p, wideband.init_state(cfg), iq)
+    _, out = wideband.process(cfg, p, wideband.init_state(cfg), iq)
+    got = np.asarray(audio)[:, np.argsort(proc.channel_order)]
+    want = np.asarray(out.audio)[
+        :, np.argsort(wideband.audio_channel_order(cfg))]
+    assert np.abs(got - want).max() < 2e-4 * np.abs(want).max()
