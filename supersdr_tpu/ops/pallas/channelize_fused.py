@@ -46,6 +46,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from supersdr_tpu.ops import channelizer, cx
 
+# r5 experiment flag (read once at import): stage-B split-bf16 as TWO
+# stacked dots instead of three. Compiles at tile 128 (the 3-dot form
+# cliffs there) but measured a net LOSS from the in-kernel concats —
+# kept as a probe, off by default (docs/PERFORMANCE.md r5 ledger).
+import os as _os
+STAGEB_2DOT = _os.environ.get("SSDR_STAGEB_2DOT", "0") == "1"
+
 
 def _round_up8(n: int) -> int:
     return (n + 7) & ~7
@@ -204,8 +211,7 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
             lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             return hi, lo
 
-        import os as _os
-        two_dot = _os.environ.get("SSDR_STAGEB_2DOT", "0") == "1"
+        two_dot = STAGEB_2DOT
 
         def dot3(a, b):
             ah, al = split(a)
