@@ -232,7 +232,14 @@ def cmd_wideband(args) -> int:
     fs = int(round(1.0 / np.median(np.diff(t[:10000]))))
     n_chan = args.n_chan
     fs_eff = (fs // n_chan) * n_chan
-    chunk_in = (min(len(z), fs_eff) // n_chan) * n_chan
+    # chunk on 8-FRAME multiples: the fused kernels' window DMAs are
+    # 8-row aligned, and GNSS-chunked WAV readback lengths are rarely
+    # 8-frame multiples themselves — plain n_chan rounding would push
+    # every file-driven run onto the slow fallback tier (≤7 frames per
+    # chunk boundary are dropped instead)
+    chunk_in = (min(len(z), fs_eff) // (8 * n_chan)) * (8 * n_chan)
+    if chunk_in == 0:
+        chunk_in = (min(len(z), fs_eff) // n_chan) * n_chan
     if chunk_in == 0:
         print("capture too short for this channel count")
         return 1

@@ -236,6 +236,52 @@ def _dif_tables(M: int, n1: int, n2: int
             c2.real.astype(np.float32), c2.imag.astype(np.float32))
 
 
+@lru_cache(maxsize=32)
+def _stageb_split_tables(n2: int) -> tuple[np.ndarray, np.ndarray,
+                                           np.ndarray, np.ndarray]:
+    """Radix-2 DIF split of the stage-B DFT (r5 quality-gap attack).
+
+    Stage B is a pure n2-point DFT over j2 (the twiddle W_M^{j2·k1} is
+    folded into stage A — `_dif_tables`). Splitting it once more,
+    j2 = j2b + n2h·j2a with n2h = n2/2:
+
+      X[2r]   = DFT_n2h( y[j2b] + y[j2b+n2h] )[r]
+      X[2r+1] = DFT_n2h( (y[j2b] − y[j2b+n2h]) · W_n2^{j2b} )[r]
+
+    halves the stage-B MXU MACs (two [·, n2h]·[n2h, n2h] dots instead
+    of one [·, n2]·[n2, n2]) for one cheap VPU butterfly + twiddle
+    row-broadcast — the lever the (20, 128) serial refactoring missed
+    (it halved stage B by DOUBLING stage A; docs/PERFORMANCE.md r5).
+    Requires n2h to be a lane multiple (n2 % 256 == 0). Output columns
+    come out [evens | odds]; `stageb_col_to_k2` is the column→k2 map.
+
+    Returns (c2h_r, c2h_i, tw_r[1, n2h], tw_i[1, n2h])."""
+    n2h = n2 // 2
+    jk = np.outer(np.arange(n2h), np.arange(n2h))
+    c2h = np.exp(-2j * np.pi * jk / n2h)
+    tw = np.exp(-2j * np.pi * np.arange(n2h) / n2)
+    return (c2h.real.astype(np.float32), c2h.imag.astype(np.float32),
+            tw.real.astype(np.float32)[None, :],
+            tw.imag.astype(np.float32)[None, :])
+
+
+def stageb_split_ok(n2: int) -> bool:
+    """The radix-2 stage-B split needs both halves lane-aligned."""
+    return n2 % 256 == 0
+
+
+def stageb_col_to_k2(n2: int, split2: bool) -> np.ndarray:
+    """k2 as a function of the fused channelizer's raw output COLUMN.
+
+    Identity without the stage-B split; with it, columns [0, n2h) hold
+    the even k2 = 2·col and [n2h, n2) the odd k2 = 2·(col−n2h)+1."""
+    if not split2:
+        return np.arange(n2)
+    n2h = n2 // 2
+    c = np.arange(n2)
+    return np.where(c < n2h, 2 * c, 2 * (c - n2h) + 1)
+
+
 _make_dot = cx.make_dot  # see ops/cx.py (split-bf16 "bf16x3" tier)
 
 

@@ -60,10 +60,10 @@ def _round_up8(n: int) -> int:
 
 def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
             head_i_ref, re_ref, im_ref,
-            out_r, out_i, scr_re, scr_im, fold_r, fold_i, y_r, y_i,
             *rest, K: int, T: int, n1: int, n2: int,
             bf16_mxu: bool, n_tiles: int, n_frames: int,
-            in_scale: float = 0.0, HR: int = 8, n1_out: int = 0):
+            in_scale: float = 0.0, HR: int = 8, n1_out: int = 0,
+            split2: bool = False):
     """Input comes as the RAW [n_frames, M] planes plus an HR-row "head"
     holding the K−1 carry rows (zero-padded on top; HR = K−1 rounded up
     to a multiple of 8, minimum 8): the kernel stitches the virtual
@@ -79,7 +79,13 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
 
     n1_out > n1: emit `n1_out − n1` ZERO planes after the real ones
     (padded-planar mesh coupling — the all_to_all's split axis must be
-    divisible by the device count; parallel/sharded_wideband)."""
+    divisible by the device count; parallel/sharded_wideband).
+
+    split2: stage B as a radix-2 DIF butterfly (VPU) + TWO [·, n2/2]
+    DFT matmuls — half the MXU MACs (channelizer._stageb_split_tables).
+    c2 refs then hold the n2/2-point DFT and an extra tw_ref input
+    (first in `rest`) carries the twiddle row; output columns are
+    [even k2 | odd k2] (channelizer.stageb_col_to_k2)."""
     i = pl.program_id(0)
     hk = K - 1
     off = HR - hk         # virtual segment row v lives at scr row v+off
@@ -88,6 +94,10 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
                           # 8-aligned, which Mosaic's memref slicing
                           # requires; sub-8 VECTOR reads/writes are fine)
 
+    tw_ref = None
+    if split2:
+        tw_ref, *rest = rest
+    out_r, out_i, scr_re, scr_im, fold_r, fold_i, y_r, y_i, *rest = rest
     i16 = in_scale > 0
     if i16:
         s16_r, s16_i, sems = rest
@@ -186,26 +196,27 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
             acci = ti_ if acci is None else acci + ti_
         y_r[k1 * T:(k1 + 1) * T, :] = accr
         y_i[k1 * T:(k1 + 1) * T, :] = acci
-    # stage B: contract j2 on the MXU — one [n1·T, n2]·[n2, n2] matmul
-    y2r = y_r[:]
-    y2i = y_i[:]
+    # stage B: contract j2 on the MXU
     c2r = c2r_ref[:]
     c2i = c2i_ref[:]
     dot = partial(jax.lax.dot_general,
                   dimension_numbers=(((1,), (0,)), ((), ())),
                   preferred_element_type=jnp.float32)
-    if bf16_mxu:
-        y2r = y2r.astype(jnp.bfloat16)
-        y2i = y2i.astype(jnp.bfloat16)
-        c2rb = c2r.astype(jnp.bfloat16)
-        c2ib = c2i.astype(jnp.bfloat16)
-        xr2 = dot(y2r, c2rb) - dot(y2i, c2ib)              # [n1·T, n2]
-        xi2 = dot(y2r, c2ib) + dot(y2i, c2rb)
-    else:
+
+    def cdot(ar, ai):
+        """(ar + i·ai) · (c2r + i·c2i) at the tier's MXU precision."""
+        if bf16_mxu:
+            ab_r = ar.astype(jnp.bfloat16)
+            ab_i = ai.astype(jnp.bfloat16)
+            c2rb = c2r.astype(jnp.bfloat16)
+            c2ib = c2i.astype(jnp.bfloat16)
+            return (dot(ab_r, c2rb) - dot(ab_i, c2ib),
+                    dot(ab_r, c2ib) + dot(ab_i, c2rb))
         # ~f32 product: manual split-bf16 ×3 (hi·hi + hi·lo + lo·hi).
         # Inside Mosaic the MXU rounds f32 operands to bf16 regardless
         # of dtype (precision attrs do not lower), and — unlike XLA —
         # nothing folds the convert round-trip away, so the split works
+
         def split(v):
             hi = v.astype(jnp.bfloat16)
             lo = (v - hi.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -226,20 +237,40 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
                 return dot(ah, bh) + dot(a2, b2)
             return dot(ah, bh) + dot(ah, bl) + dot(al, bh)
 
-        xr2 = dot3(y2r, c2r) - dot3(y2i, c2i)              # [n1·T, n2]
-        xi2 = dot3(y2r, c2i) + dot3(y2i, c2r)
-    # reshape splits only the SUBLANE dim (n1·T → n1, T): Mosaic-legal
-    if n1_out > n1:
-        # padded-planar coupling: zero planes k1 ∈ [n1, n1_out) written
-        # in-kernel (an XLA concat would re-copy the whole raw buffer)
-        out_r[0:n1] = xr2.reshape(n1, T, n2).astype(out_r.dtype)
-        out_i[0:n1] = xi2.reshape(n1, T, n2).astype(out_i.dtype)
-        z = jnp.zeros((n1_out - n1, T, n2), out_r.dtype)
-        out_r[n1:n1_out] = z
-        out_i[n1:n1_out] = z
+        return (dot3(ar, c2r) - dot3(ai, c2i),
+                dot3(ar, c2i) + dot3(ai, c2r))
+
+    def store(xr2, xi2, lo, hi):
+        # reshape splits only the SUBLANE dim (n1·T → n1, T) and the
+        # column slice is lane-aligned: Mosaic-legal. Padded-planar
+        # zero planes k1 ∈ [n1, n1_out) are written in-kernel (an XLA
+        # concat would re-copy the whole raw buffer).
+        w = hi - lo
+        out_r[0:n1, :, lo:hi] = xr2.reshape(n1, T, w).astype(out_r.dtype)
+        out_i[0:n1, :, lo:hi] = xi2.reshape(n1, T, w).astype(out_i.dtype)
+        if n1_out > n1:
+            z = jnp.zeros((n1_out - n1, T, w), out_r.dtype)
+            out_r[n1:n1_out, :, lo:hi] = z
+            out_i[n1:n1_out, :, lo:hi] = z
+
+    if split2:
+        # radix-2 DIF butterfly over the j2 halves (VPU) + TWO n2h-DFT
+        # matmuls — HALF the stage-B MXU MACs. Columns [0, n2h) carry
+        # the even k2, [n2h, n2) the odd (channelizer.stageb_col_to_k2)
+        n2h = n2 // 2
+        twr = tw_ref[0:1, :]
+        twi = tw_ref[1:2, :]
+        y0r, y1r = y_r[:, 0:n2h], y_r[:, n2h:n2]
+        y0i, y1i = y_i[:, 0:n2h], y_i[:, n2h:n2]
+        u_r, u_i = y0r + y1r, y0i + y1i
+        d_r, d_i = y0r - y1r, y0i - y1i
+        v_r = d_r * twr - d_i * twi
+        v_i = d_r * twi + d_i * twr
+        store(*cdot(u_r, u_i), 0, n2h)
+        store(*cdot(v_r, v_i), n2h, n2)
     else:
-        out_r[:] = xr2.reshape(n1, T, n2).astype(out_r.dtype)
-        out_i[:] = xi2.reshape(n1, T, n2).astype(out_i.dtype)
+        # one [n1·T, n2]·[n2, n2] matmul
+        store(*cdot(y_r[:], y_i[:]), 0, n2)
 
 
 def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
@@ -248,7 +279,8 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
                        interpret: bool = False, out_layout: str = "chan",
                        out_dtype=jnp.float32,
                        factors: tuple[int, int] | None = None,
-                       n1_pad: int | None = None
+                       n1_pad: int | None = None,
+                       split2: bool = False
                        ) -> tuple[jax.Array, jax.Array]:
     """Fused channelizer step (traced contexts, critical sampling).
 
@@ -269,6 +301,10 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
     device count divides (parallel/sharded_wideband).
     n1_pad > n1 (raw3 only): emit `n1_pad − n1` trailing ZERO planes
     so the raw buffer's plane axis is divisible by the device count.
+    split2 (raw3 only, n2 % 256 == 0): radix-2 stage-B split — half
+    the stage-B MXU MACs; raw columns become [even k2 | odd k2]
+    (`channelizer.stageb_col_to_k2` is the column→k2 map, which
+    `wideband.audio_channel_order` folds into the public row→bin map).
     """
     from supersdr_tpu.ops import cx as cx_mod
     i16_in = (isinstance(x, tuple)
@@ -296,9 +332,22 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
         raise ValueError("n1_pad is only for the raw3 coupling")
     if n1o < n1:
         raise ValueError("n1_pad must be >= n1")
+    if split2 and (out_layout != "raw3"
+                   or not channelizer.stageb_split_ok(n2)):
+        raise ValueError("split2 needs the raw3 coupling and n2 % 256 "
+                         "== 0 (both column halves lane-aligned)")
     n = (re16 if i16_in else xs.re).shape[-1]
     n_frames = n // M
     Ar, Ai, c2r, c2i = channelizer._dif_tables(M, n1, n2)
+    n2c = n2          # stage-B DFT size (n2/2 under split2)
+    tw2 = None
+    if split2:
+        c2r_h, c2i_h, tw_r, tw_i = channelizer._stageb_split_tables(n2)
+        c2r, c2i = c2r_h, c2i_h
+        n2c = n2 // 2
+        # twiddle row pair padded to an 8-row block (rows 0/1 = re/im)
+        tw2 = np.zeros((8, n2c), np.float32)
+        tw2[0], tw2[1] = tw_r[0], tw_i[0]
     # At2[(j1·n1 + k1), j2] = A[j2, k1, j1]
     At_r = jnp.asarray(np.ascontiguousarray(
         Ar.transpose(2, 1, 0).reshape(n1 * n1, n2)))
@@ -331,7 +380,7 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
     out_r, out_i = pl.pallas_call(
         partial(_kernel, K=K, T=tile_t, n1=n1, n2=n2,
                 bf16_mxu=bf16_mxu, n_tiles=n_tiles, n_frames=n_frames,
-                in_scale=in_scale, HR=HR, n1_out=n1o),
+                in_scale=in_scale, HR=HR, n1_out=n1o, split2=split2),
         out_shape=(
             jax.ShapeDtypeStruct((n1o, n_tiles * tile_t, n2), out_dtype),
             jax.ShapeDtypeStruct((n1o, n_tiles * tile_t, n2), out_dtype),
@@ -343,9 +392,9 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((n1 * n1, n2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2, n2), lambda i: (0, 0),
+            pl.BlockSpec((n2c, n2c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n2, n2), lambda i: (0, 0),
+            pl.BlockSpec((n2c, n2c), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((HR, M), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -353,7 +402,8 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + ([pl.BlockSpec((8, n2c), lambda i: (0, 0),
+                           memory_space=pltpu.VMEM)] if split2 else []),
         out_specs=(
             pl.BlockSpec((n1o, tile_t, n2), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -372,7 +422,8 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
         + [pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(g2.astype(jnp.float32), At_r, At_i, jnp.asarray(c2r),
-      jnp.asarray(c2i), head_r, head_i, re, im)
+      jnp.asarray(c2i), head_r, head_i, re, im,
+      *((jnp.asarray(tw2),) if split2 else ()))
 
     # [n1(k1), nf, n2(k2)] → one XLA transpose outside the kernel (the
     # only non-fused pass): chans [m = k2·n1 + k1, nf] ("chan") or the

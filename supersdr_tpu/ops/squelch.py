@@ -67,10 +67,17 @@ def apply_squelch(params: SquelchParams, state: SquelchState,
     t = jnp.arange(1, n + 1, dtype=jnp.float32)
     target = open_now[..., None]
     g0 = state.gain[..., None]
-    ramp = g0 + jnp.sign(target - g0) * params.ramp * t
-    gain = jnp.clip(ramp, jnp.minimum(g0, target), jnp.maximum(g0, target))
+    sgn = jnp.sign(target - g0)
+    lo = jnp.minimum(g0, target)
+    hi = jnp.maximum(g0, target)
+    gain = jnp.clip(g0 + sgn * params.ramp * t, lo, hi)
     out = audio * gain
-    return SquelchState(open_=open_now, gain=gain[..., -1]), out
+    # carried gain in CLOSED FORM (the t=n element of `gain`): returning
+    # gain[..., -1] would make the full-size gain tensor a program
+    # output and stop XLA from fusing it into the audio multiply — the
+    # gate then costs an extra pass over the (chunk-sized) audio
+    g_last = jnp.clip(g0 + sgn * (params.ramp * n), lo, hi)[..., 0]
+    return SquelchState(open_=open_now, gain=g_last), out
 
 
 def apply_squelch_tmajor(params: SquelchParams, state: SquelchState,
@@ -91,10 +98,16 @@ def apply_squelch_tmajor(params: SquelchParams, state: SquelchState,
     t = jnp.arange(1, n + 1, dtype=jnp.float32)[:, None]
     target = open_now[None, :]
     g0 = state.gain[None, :]
-    ramp = g0 + jnp.sign(target - g0) * params.ramp * t
-    gain = jnp.clip(ramp, jnp.minimum(g0, target), jnp.maximum(g0, target))
+    sgn = jnp.sign(target - g0)
+    lo = jnp.minimum(g0, target)
+    hi = jnp.maximum(g0, target)
+    gain = jnp.clip(g0 + sgn * params.ramp * t, lo, hi)
     out = (audioT.astype(jnp.float32) * gain).astype(audioT.dtype)
-    return SquelchState(open_=open_now, gain=gain[-1]), out
+    # closed-form carried gain — see apply_squelch: keeping the big
+    # gain tensor out of the program outputs lets the whole gate fuse
+    # into ONE pass over the audio
+    g_last = jnp.clip(g0 + sgn * (params.ramp * n), lo, hi)[0]
+    return SquelchState(open_=open_now, gain=g_last), out
 
 
 class BlankerParams(NamedTuple):

@@ -99,11 +99,14 @@ def _mesh_tile(f_local: int, cfg: wb.WidebandConfig) -> int:
     return best
 
 
-def _planar_order(n_chan: int, n1: int, n2: int) -> np.ndarray:
-    """order[c] = PFB bin of planar row c (c = k1·n2 + k2 → bin
-    m = k2·n1 + k1), for the REAL rows only."""
+def _planar_order(n_chan: int, n1: int, n2: int,
+                  split2: bool = False) -> np.ndarray:
+    """order[c] = PFB bin of planar row c (c = k1·n2 + col → bin
+    m = k2(col)·n1 + k1), for the REAL rows only. k2 = col except
+    under the radix-2 stage-B split (channelizer.stageb_col_to_k2)."""
+    colmap = channelizer.stageb_col_to_k2(n2, split2)
     c = np.arange(n_chan)
-    return (c % n2) * n1 + c // n2
+    return colmap[c % n2] * n1 + c // n2
 
 
 def build(cfg: wb.WidebandConfig, mesh: Mesh,
@@ -154,7 +157,8 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh,
               and chain_mod._pallas_tail_ok(ccfg, (cfg.n_chan // d,))
               and f_local % 8 == 0)
     C_pad = n1_pad * n2 if planar else cfg.n_chan
-    order = (_planar_order(cfg.n_chan, n1, n2) if planar
+    split2 = planar and wb._split2_for(cfg, n2)
+    order = (_planar_order(cfg.n_chan, n1, n2, split2) if planar
              else np.arange(cfg.n_chan))
 
     def dequant(v16):
@@ -226,7 +230,7 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh,
                 bf16_mxu=(cfg.chan_precision == "default"),
                 tile_t=tile, interpret=not on_tpu,
                 out_layout="raw3", out_dtype=raw_dtype,
-                factors=(n1, n2),
+                factors=(n1, n2), split2=split2,
                 n1_pad=(n1_pad if n1_pad != n1 else None))
             # reshard over the k1-plane axis: [n1_pad, f_local, n2] ->
             # [n1_pad/d, f_local·d, n2] — per-device planar channel

@@ -31,8 +31,10 @@ from supersdr_tpu.runtime import chain
 # resample, triple-buffered window DMAs, in-kernel RSSI):
 # "fast" = 7746 Msps/chip at ~54 dB oracle audio SNR (1-pass bf16 MXU;
 # 8861 Msps at int16 ingest; round 5);
-# "quality" = 5179 Msps at ~82 dB (split-bf16 ×3 in-kernel dots — the
-# precision trick XLA folds away but Mosaic preserves). The kernels
+# "quality" = 5603 Msps at ~82 dB (split-bf16 ×3 in-kernel dots — the
+# precision trick XLA folds away but Mosaic preserves — with the
+# radix-2 stage-B split halving the dot3 stage; 6375 Msps at int16
+# ingest). The kernels
 # need a working Mosaic toolchain and lane-multiple n_chan factors;
 # other shapes fall back to the XLA paths automatically (the SMALL
 # integrity gate exercises exactly that fallback).
@@ -54,9 +56,12 @@ PROFILES = {
     # at tile_t ≤ 112 (the r3 compile cliff starts at 128 for the dot3
     # path; benchmarks/sweep_quality.py records the sweep): 4200 Msps
     # at 81.8 dB MID-gate SNR vs 1394 Msps at 82.8 dB for the r3
-    # XLA-FFT form. chan_tile_t=64 (measured equal to 96/112 at the
-    # headline) so the MID integrity gate's 512-frame chunk divides the
-    # tile and exercises the SAME planar coupling the headline runs.
+    # XLA-FFT form. chan_tile_t=64 so the MID integrity gate's
+    # 512-frame chunk divides the tile and exercises the SAME planar
+    # coupling the headline runs (r5 re-sweep with the stage-B split:
+    # tile 112 is +2 % — 5723 vs 5603 — but breaks that gate
+    # alignment; tile 128 still hits the Mosaic dot3 compile cliff
+    # even at the split's 128-wide dots).
     "quality": dict(passband_impl="matmul", passband_precision="high",
                     chan_impl="mxu2fused", chan_precision="high",
                     resample_impl="matmul",
@@ -139,6 +144,12 @@ class WidebandConfig:
                                         # (ops/pallas/channelize_fused);
                                         # sweep knob for the in-kernel
                                         # dot3 quality path
+    chan_split2: str = "auto"           # radix-2 stage-B split on the
+                                        # planar fused path ("auto" |
+                                        # "on" | "off"): half the
+                                        # stage-B MXU MACs when n2 %
+                                        # 256 == 0 (r5 A/B in
+                                        # docs/PERFORMANCE.md)
     audio_dtype: str = "f32"            # audio output plane: "f32",
                                         # "f16" (halves the audio HBM
                                         # write, ~66 dB quantization
@@ -155,6 +166,8 @@ class WidebandConfig:
                              "mode keeps complex baseband)")
         if self.audio_dtype not in ("f32", "f16", "bf16"):
             raise ValueError("audio_dtype must be 'f32', 'f16' or 'bf16'")
+        if self.chan_split2 not in ("auto", "on", "off"):
+            raise ValueError("chan_split2 must be 'auto', 'on' or 'off'")
         if self.chan_impl not in ("legacy", "mxu2", "mxu2conv",
                                   "mxu2pallas", "mxu2fused", "stub",
                                   "nofft"):
@@ -276,7 +289,8 @@ def channelize_dispatch(cfg: WidebandConfig, params: WidebandParams,
         from supersdr_tpu.ops.pallas import channelize_fused
         fac = channelizer._pick_factors(cfg.n_chan)
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        if fac is not None and fac[1] % 128 == 0:
+        n_frames_ok = (iq_c.shape[-1] // cfg.n_chan) % 8 == 0
+        if fac is not None and fac[1] % 128 == 0 and n_frames_ok:
             pfb_carry, chans = channelize_fused.channelize_fused_c(
                 plan, params.W_pfb, carry_c, iq_c,
                 bf16_mxu=(cfg.chan_precision == "default"),
@@ -328,17 +342,37 @@ def _planar_active(cfg: WidebandConfig) -> bool:
     return bn is not None
 
 
+def _split2_for(cfg: WidebandConfig, n2: int) -> bool:
+    """Whether the fused channelizer runs the radix-2 stage-B split for
+    a planar pipeline with lane factor n2 (serial AND mesh call this so
+    both stay consistent with the same config)."""
+    if not channelizer.stageb_split_ok(n2):
+        return False
+    if cfg.chan_split2 == "on":
+        return True
+    if cfg.chan_split2 == "off":
+        return False
+    # auto: ON for the split-bf16 dot3 tier only — halving the dot3
+    # stage B is worth +7.3 % at the headline (5224 → 5603 Msps), while
+    # the bf16 tier's smaller MXU saving loses to the added VPU
+    # butterfly (7750 → 7429). Measured r5, docs/PERFORMANCE.md.
+    return cfg.chan_precision != "default"
+
+
 def audio_channel_order(cfg: WidebandConfig) -> np.ndarray:
     """order[i] = PFB bin index of audio/rssi output row i.
 
-    Identity except on the planar fused path, where row c corresponds
-    to bin (c % n2)·n1 + c // n2. `channel_freqs` applies this map, so
-    `channel_freqs(cfg)[i]` is always the frequency of output row i."""
+    Identity except on the planar fused path, where row c = k1·n2 + col
+    corresponds to bin k2(col)·n1 + k1 — k2 = col except under the
+    radix-2 stage-B split (`channelizer.stageb_col_to_k2`).
+    `channel_freqs` applies this map, so `channel_freqs(cfg)[i]` is
+    always the frequency of output row i."""
     if not _planar_active(cfg):
         return np.arange(cfg.n_chan)
     n1, n2 = channelizer._pick_factors(cfg.n_chan)
+    colmap = channelizer.stageb_col_to_k2(n2, _split2_for(cfg, n2))
     c = np.arange(cfg.n_chan)
-    return (c % n2) * n1 + c // n2
+    return colmap[c % n2] * n1 + c // n2
 
 
 def _tmajor_fused_ok(cfg: WidebandConfig) -> bool:
@@ -347,6 +381,7 @@ def _tmajor_fused_ok(cfg: WidebandConfig) -> bool:
     ccfg = cfg.chain_cfg
     return (cfg.chan_impl == "mxu2fused" and fac is not None
             and fac[1] % 128 == 0
+            and cfg.chunk_per_chan % 8 == 0   # 8-aligned window DMAs
             and ccfg.passband_impl == "matmul"
             and ccfg.tail_impl == "pallas"
             and chain._pallas_tail_ok(ccfg, (cfg.n_chan,)))
@@ -428,17 +463,27 @@ def _process_traced_tmajor(cfg: WidebandConfig, params: WidebandParams,
                      if (cfg.chan_precision == "default"
                          and cfg.passband_precision == "default")
                      else jnp.float32)
+        n1f, n2f = channelizer._pick_factors(cfg.n_chan)
+        split2 = _split2_for(cfg, n2f)
         pfb_carry, (raw_r, raw_i) = channelize_fused.channelize_fused_c(
             plan, params.W_pfb, state.pfb_carry, iq,
             bf16_mxu=(cfg.chan_precision == "default"),
             tile_t=cfg.chan_tile_t, interpret=not on_tpu,
-            out_layout="raw3", out_dtype=raw_dtype)
+            out_layout="raw3", out_dtype=raw_dtype, split2=split2)
         # os_carry (bin-order [C, ov]): transpose of the TINY raw tail
-        # [n1, ov, n2] → [n2, n1, ov] → [M, ov] (m = k2·n1 + k1)
+        # [n1, ov, n2] → [n2, n1, ov] → [M, ov]; raw row p = col·n1+k1
+        # is bin m = k2(col)·n1 + k1 — identity except under the
+        # stage-B split, where the static row gather reorders it
         tr = jnp.transpose(raw_r[:, -ov:, :], (2, 0, 1)).reshape(
             cfg.n_chan, ov).astype(jnp.float32)
         ti = jnp.transpose(raw_i[:, -ov:, :], (2, 0, 1)).reshape(
             cfg.n_chan, ov).astype(jnp.float32)
+        if split2:
+            colmap = channelizer.stageb_col_to_k2(n2f, True)
+            col_of_k2 = np.argsort(colmap)
+            b = np.arange(cfg.n_chan)
+            p_of_b = col_of_k2[b // n1f] * n1f + (b % n1f)
+            tr, ti = tr[p_of_b], ti[p_of_b]
         os_carry = cx.CX(tr, ti)
         cstate, audioT, rssi = chain.process_tail_tmajor(
             ccfg, params.chain, state.chain, state.chain.phase, None,

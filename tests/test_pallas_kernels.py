@@ -222,3 +222,47 @@ def test_fused_channelizer_factors_override_and_pad(rng):
     err = float(np.linalg.norm(got - np.asarray(ref))
                 / np.linalg.norm(np.asarray(ref)))
     assert err < 1e-5, err
+
+
+def test_fused_channelizer_stageb_split2(rng):
+    """Radix-2 stage-B split (r5 quality-gap attack): half the stage-B
+    MXU MACs; raw columns come out [even k2 | odd k2]
+    (`channelizer.stageb_col_to_k2`). Aligned through the column map the
+    split output equals the unsplit kernel on both precision tiers."""
+    import jax
+    import jax.numpy as jnp
+    from supersdr_tpu.ops import channelizer as ch
+    from supersdr_tpu.ops.pallas import channelize_fused as cf
+
+    M, K, nf = 512, 8, 64
+    plan, proto = ch.design(M, K)
+    W = ch.taps_matrix(plan, proto)
+    carry = jnp.zeros(plan.history, jnp.complex64)
+    x = jnp.asarray((rng.normal(size=M * nf)
+                     + 1j * rng.normal(size=M * nf)).astype(np.complex64))
+    n1, n2 = ch._pick_factors(M)
+    assert n2 == 256 and ch.stageb_split_ok(n2)
+    col_of_k2 = np.argsort(ch.stageb_col_to_k2(n2, True))
+    for bf16, tol in [(False, 1e-4), (True, 6e-3)]:
+        _, (r0, i0) = jax.jit(lambda c, xx, b=bf16: cf.channelize_fused_c(
+            plan, W, c, xx, bf16_mxu=b, interpret=True, tile_t=64,
+            out_layout="raw3"))(carry, x)
+        _, (r1, i1) = jax.jit(lambda c, xx, b=bf16: cf.channelize_fused_c(
+            plan, W, c, xx, bf16_mxu=b, interpret=True, tile_t=64,
+            out_layout="raw3", split2=True))(carry, x)
+        a0 = np.asarray(r0) + 1j * np.asarray(i0)
+        a1 = (np.asarray(r1) + 1j * np.asarray(i1))[:, :, col_of_k2]
+        err = float(np.linalg.norm(a1 - a0) / np.linalg.norm(a0))
+        assert err < tol, (bf16, err)
+    # split2 is raw3-only and needs both column halves lane-aligned
+    with pytest.raises(ValueError):
+        cf.channelize_fused_c(plan, W, carry, x, interpret=True,
+                              out_layout="time", split2=True)
+    plan128, proto128 = ch.design(2560, K)
+    W128 = ch.taps_matrix(plan128, proto128)
+    with pytest.raises(ValueError):
+        cf.channelize_fused_c(
+            plan128, W128, jnp.zeros(plan128.history, jnp.complex64),
+            jnp.asarray(np.zeros(2560 * 8, np.complex64)),
+            interpret=True, out_layout="raw3", factors=(20, 128),
+            split2=True)

@@ -496,3 +496,37 @@ def test_sharded_wideband_waste_override_enables_padded_planar():
     want = np.asarray(out.audio)[
         :, np.argsort(wideband.audio_channel_order(cfg))]
     assert np.abs(got - want).max() < 2e-4 * np.abs(want).max()
+
+
+def test_sharded_wideband_planar_split2_bit_identical_serial():
+    """The radix-2 stage-B split (r5) on the mesh: d=2 keeps the serial
+    (2, 256) factoring, both sides run split2, and the planar mesh
+    program stays BIT-identical to serial through the split's
+    column-order map (state chained across 2 chunks)."""
+    import numpy as np
+    from supersdr_tpu.parallel import sharded_wideband
+    from supersdr_tpu.runtime import wideband
+
+    prof = dict(wideband.PROFILES["fast"])
+    cfg = wideband.WidebandConfig(fs_in=512 * 12_000, n_chan=512,
+                                  chunk_in=512 * 256, mode="AM",
+                                  taps_per=4, n_taps=129,
+                                  chan_split2="on", **prof)
+    m = sharded_wideband.make_mesh(jax.devices()[:2])
+    proc = sharded_wideband.build(cfg, m)
+    assert proc.planar and proc.planar_factors == (2, 256, 2)
+    assert not np.array_equal(proc.channel_order, np.arange(512))
+    p = wideband.make_params(cfg)
+    rng = np.random.default_rng(23)
+    iq = ((rng.normal(size=(2, cfg.chunk_in))
+           + 1j * rng.normal(size=(2, cfg.chunk_in))) * 0.05
+          ).astype(np.complex64)
+    mstate, sstate = wideband.init_state(cfg), wideband.init_state(cfg)
+    minv = np.argsort(proc.channel_order)
+    sinv = np.argsort(wideband.audio_channel_order(cfg))
+    for k in range(2):
+        mstate, audio, rssi = proc(p, mstate, iq[k])
+        sstate, out = wideband.process(cfg, p, sstate, iq[k])
+        got = np.asarray(audio)[:, minv]
+        want = np.asarray(out.audio)[:, sinv]
+        assert np.array_equal(got, want), k

@@ -410,3 +410,35 @@ def test_i16_pair_dtype_guard():
     assert wideband._is_i16_pair((re.astype(np.int16),
                                   re.astype(np.int16)))
     assert not wideband._is_i16_pair(jnp.zeros(4))
+
+
+def test_stageb_split2_pipeline_matches_unsplit():
+    """chan_split2 halves the fused channelizer's stage-B MXU MACs (r5);
+    through the full planar pipeline with chunk-chained state the split
+    and unsplit programs agree to their precision tier, after aligning
+    each run's own audio_channel_order (the row maps differ)."""
+    base = dict(fs_in=512 * 12_000, n_chan=512, chunk_in=512 * 512,
+                mode="AM", taps_per=8, n_taps=257, audio_rate=48_000,
+                **wideband.PROFILES["fast"])
+    rng = np.random.default_rng(17)
+    iq = ((rng.normal(size=(2, base["chunk_in"]))
+           + 1j * rng.normal(size=(2, base["chunk_in"]))) * 0.05
+          ).astype(np.complex64)
+    outs = {}
+    for s2 in ("off", "on"):
+        cfg = wideband.WidebandConfig(**base, chan_split2=s2)
+        assert wideband._planar_active(cfg)
+        p = wideband.make_params(cfg)
+        st = wideband.init_state(cfg)
+        _, audio = wideband.process_many(cfg, p, st, iq)
+        inv = np.argsort(wideband.audio_channel_order(cfg))
+        outs[s2] = np.asarray(audio)[:, :, inv]       # bin-ordered
+    # the two differ only in bf16 rounding order (fast tier)
+    err = float(np.linalg.norm(outs["on"] - outs["off"])
+                / np.linalg.norm(outs["off"]))
+    assert err < 6e-3, err
+    # the split's order map really is different (and self-consistent)
+    on_cfg = wideband.WidebandConfig(**base, chan_split2="on")
+    off_cfg = wideband.WidebandConfig(**base, chan_split2="off")
+    assert not np.array_equal(wideband.audio_channel_order(on_cfg),
+                              wideband.audio_channel_order(off_cfg))
