@@ -237,49 +237,63 @@ def _dif_tables(M: int, n1: int, n2: int
 
 
 @lru_cache(maxsize=32)
-def _stageb_split_tables(n2: int) -> tuple[np.ndarray, np.ndarray,
-                                           np.ndarray, np.ndarray]:
-    """Radix-2 DIF split of the stage-B DFT (r5 quality-gap attack).
+def _stageb_split_tables(n2: int, levels: int = 1
+                         ) -> tuple[np.ndarray, np.ndarray, tuple]:
+    """Radix-2 DIF split of the stage-B DFT, `levels` deep (r5
+    quality-gap attack).
 
     Stage B is a pure n2-point DFT over j2 (the twiddle W_M^{j2·k1} is
-    folded into stage A — `_dif_tables`). Splitting it once more,
-    j2 = j2b + n2h·j2a with n2h = n2/2:
+    folded into stage A — `_dif_tables`). One split level on a width-W
+    block (W = n2/2^ℓ at level ℓ), with w = W/2:
 
-      X[2r]   = DFT_n2h( y[j2b] + y[j2b+n2h] )[r]
-      X[2r+1] = DFT_n2h( (y[j2b] − y[j2b+n2h]) · W_n2^{j2b} )[r]
+      X[2r]   = DFT_w( y[j] + y[j+w] )[r]
+      X[2r+1] = DFT_w( (y[j] − y[j+w]) · W_W^{j} )[r]
 
-    halves the stage-B MXU MACs (two [·, n2h]·[n2h, n2h] dots instead
-    of one [·, n2]·[n2, n2]) for one cheap VPU butterfly + twiddle
-    row-broadcast — the lever the (20, 128) serial refactoring missed
-    (it halved stage B by DOUBLING stage A; docs/PERFORMANCE.md r5).
-    Requires n2h to be a lane multiple (n2 % 256 == 0). Output columns
-    come out [evens | odds]; `stageb_col_to_k2` is the column→k2 map.
+    Each level HALVES the stage-B MXU MACs (2^L dots of
+    [·, n2/2^L]·[n2/2^L, n2/2^L] instead of one [·, n2]·[n2, n2]) for
+    a cheap VPU butterfly + twiddle row-broadcast per level — the
+    lever the (20, 128) serial refactoring missed (it halved stage B
+    by DOUBLING stage A; docs/PERFORMANCE.md r5). Requires the final
+    block width n2/2^L to be a lane multiple. Output column order is
+    `stageb_col_to_k2`.
 
-    Returns (c2h_r, c2h_i, tw_r[1, n2h], tw_i[1, n2h])."""
-    n2h = n2 // 2
-    jk = np.outer(np.arange(n2h), np.arange(n2h))
-    c2h = np.exp(-2j * np.pi * jk / n2h)
-    tw = np.exp(-2j * np.pi * np.arange(n2h) / n2)
-    return (c2h.real.astype(np.float32), c2h.imag.astype(np.float32),
-            tw.real.astype(np.float32)[None, :],
-            tw.imag.astype(np.float32)[None, :])
+    Returns (c2L_r, c2L_i, twiddles) — the n2/2^L-point DFT matrix
+    and, per level, (tw_r[1, w], tw_i[1, w])."""
+    nL = n2 >> levels
+    jk = np.outer(np.arange(nL), np.arange(nL))
+    c2L = np.exp(-2j * np.pi * jk / nL)
+    tws = []
+    for lev in range(levels):
+        W = n2 >> lev
+        tw = np.exp(-2j * np.pi * np.arange(W // 2) / W)
+        tws.append((tw.real.astype(np.float32)[None, :],
+                    tw.imag.astype(np.float32)[None, :]))
+    return (c2L.real.astype(np.float32), c2L.imag.astype(np.float32),
+            tuple(tws))
 
 
-def stageb_split_ok(n2: int) -> bool:
-    """The radix-2 stage-B split needs both halves lane-aligned."""
-    return n2 % 256 == 0
+def stageb_split_ok(n2: int, levels: int = 1) -> bool:
+    """The stage-B split needs every block lane-aligned at every level."""
+    return levels >= 1 and n2 % (128 << levels) == 0
 
 
-def stageb_col_to_k2(n2: int, split2: bool) -> np.ndarray:
+def stageb_col_to_k2(n2: int, levels) -> np.ndarray:
     """k2 as a function of the fused channelizer's raw output COLUMN.
 
-    Identity without the stage-B split; with it, columns [0, n2h) hold
-    the even k2 = 2·col and [n2h, n2) the odd k2 = 2·(col−n2h)+1."""
-    if not split2:
+    Identity without the stage-B split. With L split levels, column
+    col = b·(n2/2^L) + r (b the block index) holds
+    k2 = r·2^L + bitrev_L(b): level 1's u/v branch decides k2's bit 0,
+    level 2's decides bit 1, … (b's bits are MSB-first in split order)."""
+    L = int(levels)
+    if L <= 0:
         return np.arange(n2)
-    n2h = n2 // 2
+    wL = n2 >> L
     c = np.arange(n2)
-    return np.where(c < n2h, 2 * c, 2 * (c - n2h) + 1)
+    b, r = c // wL, c % wL
+    rev = np.zeros_like(b)
+    for i in range(L):
+        rev |= ((b >> (L - 1 - i)) & 1) << i
+    return r * (1 << L) + rev
 
 
 _make_dot = cx.make_dot  # see ops/cx.py (split-bf16 "bf16x3" tier)

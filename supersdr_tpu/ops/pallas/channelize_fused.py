@@ -63,7 +63,7 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
             *rest, K: int, T: int, n1: int, n2: int,
             bf16_mxu: bool, n_tiles: int, n_frames: int,
             in_scale: float = 0.0, HR: int = 8, n1_out: int = 0,
-            split2: bool = False):
+            split_levels: int = 0):
     """Input comes as the RAW [n_frames, M] planes plus an HR-row "head"
     holding the K−1 carry rows (zero-padded on top; HR = K−1 rounded up
     to a multiple of 8, minimum 8): the kernel stitches the virtual
@@ -81,11 +81,12 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
     (padded-planar mesh coupling — the all_to_all's split axis must be
     divisible by the device count; parallel/sharded_wideband).
 
-    split2: stage B as a radix-2 DIF butterfly (VPU) + TWO [·, n2/2]
-    DFT matmuls — half the MXU MACs (channelizer._stageb_split_tables).
-    c2 refs then hold the n2/2-point DFT and an extra tw_ref input
-    (first in `rest`) carries the twiddle row; output columns are
-    [even k2 | odd k2] (channelizer.stageb_col_to_k2)."""
+    split_levels ≥ 1: stage B as L radix-2 DIF butterfly levels (VPU) +
+    2^L [·, n2/2^L] DFT matmuls — the MXU MACs halve per level
+    (channelizer._stageb_split_tables). c2 refs then hold the
+    n2/2^L-point DFT and L extra tw refs (first in `rest`) carry the
+    per-level twiddle rows; output column order is
+    channelizer.stageb_col_to_k2."""
     i = pl.program_id(0)
     hk = K - 1
     off = HR - hk         # virtual segment row v lives at scr row v+off
@@ -94,9 +95,8 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
                           # 8-aligned, which Mosaic's memref slicing
                           # requires; sub-8 VECTOR reads/writes are fine)
 
-    tw_ref = None
-    if split2:
-        tw_ref, *rest = rest
+    tw_refs = rest[:split_levels]
+    rest = rest[split_levels:]
     out_r, out_i, scr_re, scr_im, fold_r, fold_i, y_r, y_i, *rest = rest
     i16 = in_scale > 0
     if i16:
@@ -253,21 +253,33 @@ def _kernel(g_ref, at_r_ref, at_i_ref, c2r_ref, c2i_ref, head_r_ref,
             out_r[n1:n1_out, :, lo:hi] = z
             out_i[n1:n1_out, :, lo:hi] = z
 
-    if split2:
-        # radix-2 DIF butterfly over the j2 halves (VPU) + TWO n2h-DFT
-        # matmuls — HALF the stage-B MXU MACs. Columns [0, n2h) carry
-        # the even k2, [n2h, n2) the odd (channelizer.stageb_col_to_k2)
-        n2h = n2 // 2
-        twr = tw_ref[0:1, :]
-        twi = tw_ref[1:2, :]
-        y0r, y1r = y_r[:, 0:n2h], y_r[:, n2h:n2]
-        y0i, y1i = y_i[:, 0:n2h], y_i[:, n2h:n2]
-        u_r, u_i = y0r + y1r, y0i + y1i
-        d_r, d_i = y0r - y1r, y0i - y1i
-        v_r = d_r * twr - d_i * twi
-        v_i = d_r * twi + d_i * twr
-        store(*cdot(u_r, u_i), 0, n2h)
-        store(*cdot(v_r, v_i), n2h, n2)
+    if split_levels:
+        # L radix-2 DIF butterfly levels over the j2 blocks (VPU) +
+        # 2^L n2/2^L-DFT matmuls — the stage-B MXU MACs halve per
+        # level. Block order is u|v per level; column→k2 is
+        # channelizer.stageb_col_to_k2. Blocks live as value pairs
+        # (per-block [n1·T, w] arrays) — no ref round-trip between
+        # levels.
+        blocks = [(y_r[:], y_i[:])]
+        W = n2
+        for lev in range(split_levels):
+            w = W // 2
+            twr = tw_refs[lev][0:1, :]
+            twi = tw_refs[lev][1:2, :]
+            nxt = []
+            for br, bi in blocks:
+                y0r, y1r = br[:, 0:w], br[:, w:W]
+                y0i, y1i = bi[:, 0:w], bi[:, w:W]
+                d_r, d_i = y0r - y1r, y0i - y1i
+                nxt.append((y0r + y1r, y0i + y1i))
+                nxt.append((d_r * twr - d_i * twi,
+                            d_r * twi + d_i * twr))
+            # u|v stay adjacent per parent (block index bit ℓ-from-MSB
+            # = this level's branch) — matches stageb_col_to_k2
+            blocks = nxt
+            W = w
+        for b, (br, bi) in enumerate(blocks):
+            store(*cdot(br, bi), b * W, (b + 1) * W)
     else:
         # one [n1·T, n2]·[n2, n2] matmul
         store(*cdot(y_r[:], y_i[:]), 0, n2)
@@ -280,7 +292,8 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
                        out_dtype=jnp.float32,
                        factors: tuple[int, int] | None = None,
                        n1_pad: int | None = None,
-                       split2: bool = False
+                       split2: bool = False,
+                       split_levels: int | None = None
                        ) -> tuple[jax.Array, jax.Array]:
     """Fused channelizer step (traced contexts, critical sampling).
 
@@ -301,10 +314,11 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
     device count divides (parallel/sharded_wideband).
     n1_pad > n1 (raw3 only): emit `n1_pad − n1` trailing ZERO planes
     so the raw buffer's plane axis is divisible by the device count.
-    split2 (raw3 only, n2 % 256 == 0): radix-2 stage-B split — half
-    the stage-B MXU MACs; raw columns become [even k2 | odd k2]
-    (`channelizer.stageb_col_to_k2` is the column→k2 map, which
-    `wideband.audio_channel_order` folds into the public row→bin map).
+    split_levels ≥ 1 (raw3 only, n2 % (128·2^L) == 0): L-level radix-2
+    stage-B split — the stage-B MXU MACs halve per level; the raw
+    column order becomes `channelizer.stageb_col_to_k2(n2, L)`, which
+    `wideband.audio_channel_order` folds into the public row→bin map.
+    `split2=True` is the L=1 shorthand.
     """
     from supersdr_tpu.ops import cx as cx_mod
     i16_in = (isinstance(x, tuple)
@@ -332,22 +346,26 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
         raise ValueError("n1_pad is only for the raw3 coupling")
     if n1o < n1:
         raise ValueError("n1_pad must be >= n1")
-    if split2 and (out_layout != "raw3"
-                   or not channelizer.stageb_split_ok(n2)):
-        raise ValueError("split2 needs the raw3 coupling and n2 % 256 "
-                         "== 0 (both column halves lane-aligned)")
+    L = split_levels if split_levels is not None else (1 if split2 else 0)
+    if L and (out_layout != "raw3"
+              or not channelizer.stageb_split_ok(n2, L)):
+        raise ValueError("the stage-B split needs the raw3 coupling and "
+                         f"n2 % {128 << L} == 0 (every block "
+                         "lane-aligned at every level)")
     n = (re16 if i16_in else xs.re).shape[-1]
     n_frames = n // M
     Ar, Ai, c2r, c2i = channelizer._dif_tables(M, n1, n2)
-    n2c = n2          # stage-B DFT size (n2/2 under split2)
-    tw2 = None
-    if split2:
-        c2r_h, c2i_h, tw_r, tw_i = channelizer._stageb_split_tables(n2)
+    n2c = n2          # stage-B DFT size (n2/2^L under the split)
+    tws = []
+    if L:
+        c2r_h, c2i_h, twpairs = channelizer._stageb_split_tables(n2, L)
         c2r, c2i = c2r_h, c2i_h
-        n2c = n2 // 2
-        # twiddle row pair padded to an 8-row block (rows 0/1 = re/im)
-        tw2 = np.zeros((8, n2c), np.float32)
-        tw2[0], tw2[1] = tw_r[0], tw_i[0]
+        n2c = n2 >> L
+        for tw_r, tw_i in twpairs:
+            # twiddle row pair padded to an 8-row block (rows 0/1=re/im)
+            t8 = np.zeros((8, tw_r.shape[1]), np.float32)
+            t8[0], t8[1] = tw_r[0], tw_i[0]
+            tws.append(t8)
     # At2[(j1·n1 + k1), j2] = A[j2, k1, j1]
     At_r = jnp.asarray(np.ascontiguousarray(
         Ar.transpose(2, 1, 0).reshape(n1 * n1, n2)))
@@ -380,7 +398,7 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
     out_r, out_i = pl.pallas_call(
         partial(_kernel, K=K, T=tile_t, n1=n1, n2=n2,
                 bf16_mxu=bf16_mxu, n_tiles=n_tiles, n_frames=n_frames,
-                in_scale=in_scale, HR=HR, n1_out=n1o, split2=split2),
+                in_scale=in_scale, HR=HR, n1_out=n1o, split_levels=L),
         out_shape=(
             jax.ShapeDtypeStruct((n1o, n_tiles * tile_t, n2), out_dtype),
             jax.ShapeDtypeStruct((n1o, n_tiles * tile_t, n2), out_dtype),
@@ -402,8 +420,8 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-        ] + ([pl.BlockSpec((8, n2c), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)] if split2 else []),
+        ] + [pl.BlockSpec(t8.shape, lambda i: (0, 0),
+                          memory_space=pltpu.VMEM) for t8 in tws],
         out_specs=(
             pl.BlockSpec((n1o, tile_t, n2), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
@@ -423,7 +441,7 @@ def channelize_fused_c(plan: channelizer.PFBPlan, W: jax.Array,
         interpret=interpret,
     )(g2.astype(jnp.float32), At_r, At_i, jnp.asarray(c2r),
       jnp.asarray(c2i), head_r, head_i, re, im,
-      *((jnp.asarray(tw2),) if split2 else ()))
+      *(jnp.asarray(t8) for t8 in tws))
 
     # [n1(k1), nf, n2(k2)] → one XLA transpose outside the kernel (the
     # only non-fused pass): chans [m = k2·n1 + k1, nf] ("chan") or the

@@ -65,22 +65,27 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (AXIS,))
 
 
-def _planar_factors_for(n_chan: int, d: int
+def _planar_factors_for(n_chan: int, d: int, n2_pref: int = 256
                         ) -> tuple[int, int, int] | None:
     """(n1, n2, n1_pad) for a d-device planar mesh: among all DIF
-    factorings with lane-multiple n2, minimize the padded waste
-    n1_pad·n2 − n_chan (n1_pad = ceil(n1/d)·d), tie-breaking toward
-    larger n2 (the serial preference). None if no factoring exists."""
+    factorings with lane-multiple n2 (n1 ≥ 2), minimize the padded
+    waste n1_pad·n2 − n_chan (n1_pad = ceil(n1/d)·d), tie-breaking
+    toward `n2_pref` — 256 for the bf16 tier (the serial fast tree),
+    512 for split-active dot3 configs (the serial (5, 512) tree, so a
+    1-device mesh stays bit-identical to serial). None if no
+    factoring exists."""
     cands = []
-    for n2 in range(128, min(cx.MAX_DIRECT, n_chan) + 1, 128):
-        if n_chan % n2 == 0 and n_chan // n2 <= cx.MAX_DIRECT:
+    hi = min(512, n_chan)
+    for n2 in range(128, hi + 1, 128):
+        if n_chan % n2 == 0 and 2 <= n_chan // n2 <= cx.MAX_DIRECT:
             n1 = n_chan // n2
             n1_pad = -(-n1 // d) * d
-            cands.append((n1_pad * n2 - n_chan, -n2, n1, n2, n1_pad))
+            cands.append((n1_pad * n2 - n_chan, abs(n2 - n2_pref), -n2,
+                          n1, n2, n1_pad))
     if not cands:
         return None
     cands.sort()
-    _, _, n1, n2, n1_pad = cands[0]
+    _, _, _, n1, n2, n1_pad = cands[0]
     return n1, n2, n1_pad
 
 
@@ -100,11 +105,11 @@ def _mesh_tile(f_local: int, cfg: wb.WidebandConfig) -> int:
 
 
 def _planar_order(n_chan: int, n1: int, n2: int,
-                  split2: bool = False) -> np.ndarray:
+                  split_levels: int = 0) -> np.ndarray:
     """order[c] = PFB bin of planar row c (c = k1·n2 + col → bin
     m = k2(col)·n1 + k1), for the REAL rows only. k2 = col except
-    under the radix-2 stage-B split (channelizer.stageb_col_to_k2)."""
-    colmap = channelizer.stageb_col_to_k2(n2, split2)
+    under the stage-B split (channelizer.stageb_col_to_k2)."""
+    colmap = channelizer.stageb_col_to_k2(n2, split_levels)
     c = np.arange(n_chan)
     return colmap[c % n2] * n1 + c // n2
 
@@ -141,7 +146,9 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh,
     ccfg = cfg.chain_cfg
     f_local = cfg.chunk_in // (d * cfg.n_chan)
     tile = _mesh_tile(f_local, cfg)
-    pf = _planar_factors_for(cfg.n_chan, d)
+    n2_pref = (512 if (cfg.chan_precision != "default"
+                       and cfg.chan_split2 != "off") else 256)
+    pf = _planar_factors_for(cfg.n_chan, d, n2_pref)
     planar = False
     n1 = n2 = n1_pad = c_loc = 0
     if pf is not None:
@@ -157,8 +164,8 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh,
               and chain_mod._pallas_tail_ok(ccfg, (cfg.n_chan // d,))
               and f_local % 8 == 0)
     C_pad = n1_pad * n2 if planar else cfg.n_chan
-    split2 = planar and wb._split2_for(cfg, n2)
-    order = (_planar_order(cfg.n_chan, n1, n2, split2) if planar
+    split_levels = wb._split_levels_for(cfg, n2) if planar else 0
+    order = (_planar_order(cfg.n_chan, n1, n2, split_levels) if planar
              else np.arange(cfg.n_chan))
 
     def dequant(v16):
@@ -230,7 +237,7 @@ def build(cfg: wb.WidebandConfig, mesh: Mesh,
                 bf16_mxu=(cfg.chan_precision == "default"),
                 tile_t=tile, interpret=not on_tpu,
                 out_layout="raw3", out_dtype=raw_dtype,
-                factors=(n1, n2), split2=split2,
+                factors=(n1, n2), split_levels=split_levels,
                 n1_pad=(n1_pad if n1_pad != n1 else None))
             # reshard over the k1-plane axis: [n1_pad, f_local, n2] ->
             # [n1_pad/d, f_local·d, n2] — per-device planar channel

@@ -146,10 +146,17 @@ class WidebandConfig:
                                         # dot3 quality path
     chan_split2: str = "auto"           # radix-2 stage-B split on the
                                         # planar fused path ("auto" |
-                                        # "on" | "off"): half the
-                                        # stage-B MXU MACs when n2 %
-                                        # 256 == 0 (r5 A/B in
-                                        # docs/PERFORMANCE.md)
+                                        # "on" | "off"): the stage-B
+                                        # MXU MACs halve per level,
+                                        # down to 128-wide dots (r5
+                                        # A/B in docs/PERFORMANCE.md)
+    chan_factors: tuple | None = None   # override the planar DIF
+                                        # factoring (n1, n2), e.g.
+                                        # (5, 512) on 2560 channels:
+                                        # radix-5 stage A (half the
+                                        # radix-10 VPU work) + 2-level
+                                        # stage-B split. None = the
+                                        # default _pick_factors tree
     audio_dtype: str = "f32"            # audio output plane: "f32",
                                         # "f16" (halves the audio HBM
                                         # write, ~66 dB quantization
@@ -168,6 +175,11 @@ class WidebandConfig:
             raise ValueError("audio_dtype must be 'f32', 'f16' or 'bf16'")
         if self.chan_split2 not in ("auto", "on", "off"):
             raise ValueError("chan_split2 must be 'auto', 'on' or 'off'")
+        if self.chan_factors is not None:
+            n1f, n2f = self.chan_factors
+            if n1f * n2f != self.n_chan or n2f % 128:
+                raise ValueError("chan_factors must multiply to n_chan "
+                                 "with a lane-multiple n2")
         if self.chan_impl not in ("legacy", "mxu2", "mxu2conv",
                                   "mxu2pallas", "mxu2fused", "stub",
                                   "nofft"):
@@ -329,7 +341,7 @@ def _planar_active(cfg: WidebandConfig) -> bool:
     worth ~1.5 ms at the bench shape (the last pure-layout pass)."""
     if not (cfg.time_major and _tmajor_fused_ok(cfg)):
         return False
-    fac = channelizer._pick_factors(cfg.n_chan)
+    fac = _factors_for(cfg)
     if fac is None or fac[1] % 128:
         return False
     if cfg.chunk_per_chan % cfg.chan_tile_t:
@@ -342,21 +354,55 @@ def _planar_active(cfg: WidebandConfig) -> bool:
     return bn is not None
 
 
-def _split2_for(cfg: WidebandConfig, n2: int) -> bool:
-    """Whether the fused channelizer runs the radix-2 stage-B split for
-    a planar pipeline with lane factor n2 (serial AND mesh call this so
-    both stay consistent with the same config)."""
-    if not channelizer.stageb_split_ok(n2):
-        return False
+def _pick_split_factors(n_chan: int) -> tuple[int, int] | None:
+    """Min-n1 factoring with n2 = 128·2^L (L ≤ 2, n1 ≥ 2): the planar
+    optimum when the stage-B split is active — stage A costs ∝ M·n1
+    and the split drives stage B to 128-wide dots regardless, so the
+    smallest n1 wins (2560 → (5, 512): radix-5 stage A at HALF the
+    (10, 256) tree's VPU work, measured r5). None when no such
+    factoring exists."""
+    for n2 in (512, 256, 128):
+        n1 = n_chan // n2
+        if n_chan % n2 == 0 and 2 <= n1 <= cx.MAX_DIRECT:
+            return n1, n2
+    return None
+
+
+def _factors_for(cfg: WidebandConfig) -> tuple[int, int] | None:
+    """The planar DIF factoring this config runs: the `chan_factors`
+    override when given; else, when the stage-B split will be active
+    (dot3 tier, not forced off), the min-n1 split-friendly tree; else
+    the default `_pick_factors` tree."""
+    if cfg.chan_factors is not None:
+        return tuple(cfg.chan_factors)
+    if cfg.chan_precision != "default" and cfg.chan_split2 != "off":
+        fac = _pick_split_factors(cfg.n_chan)
+        if fac is not None:
+            return fac
+    return channelizer._pick_factors(cfg.n_chan)
+
+
+def _split_levels_for(cfg: WidebandConfig, n2: int) -> int:
+    """Stage-B split depth for a planar pipeline with lane factor n2
+    (serial AND mesh call this so both stay consistent with the same
+    config). Levels halve the stage-B MXU MACs down to 128-wide dots."""
+    max_l = 0
+    while channelizer.stageb_split_ok(n2, max_l + 1):
+        max_l += 1
+    if max_l == 0 or cfg.chan_split2 == "off":
+        return 0
     if cfg.chan_split2 == "on":
-        return True
-    if cfg.chan_split2 == "off":
-        return False
+        return max_l
     # auto: ON for the split-bf16 dot3 tier only — halving the dot3
     # stage B is worth +7.3 % at the headline (5224 → 5603 Msps), while
     # the bf16 tier's smaller MXU saving loses to the added VPU
     # butterfly (7750 → 7429). Measured r5, docs/PERFORMANCE.md.
-    return cfg.chan_precision != "default"
+    return max_l if cfg.chan_precision != "default" else 0
+
+
+def _split2_for(cfg: WidebandConfig, n2: int) -> bool:
+    """Back-compat boolean view of `_split_levels_for`."""
+    return _split_levels_for(cfg, n2) > 0
 
 
 def audio_channel_order(cfg: WidebandConfig) -> np.ndarray:
@@ -369,22 +415,38 @@ def audio_channel_order(cfg: WidebandConfig) -> np.ndarray:
     always the frequency of output row i."""
     if not _planar_active(cfg):
         return np.arange(cfg.n_chan)
-    n1, n2 = channelizer._pick_factors(cfg.n_chan)
-    colmap = channelizer.stageb_col_to_k2(n2, _split2_for(cfg, n2))
+    n1, n2 = _factors_for(cfg)
+    colmap = channelizer.stageb_col_to_k2(n2, _split_levels_for(cfg, n2))
     c = np.arange(cfg.n_chan)
     return colmap[c % n2] * n1 + c // n2
 
 
 def _tmajor_fused_ok(cfg: WidebandConfig) -> bool:
     """True when the zero-transpose fused path can serve this config."""
+    from supersdr_tpu.ops import fir_matmul
     fac = channelizer._pick_factors(cfg.n_chan)
     ccfg = cfg.chain_cfg
-    return (cfg.chan_impl == "mxu2fused" and fac is not None
+    if not (cfg.chan_impl == "mxu2fused" and fac is not None
             and fac[1] % 128 == 0
             and cfg.chunk_per_chan % 8 == 0   # 8-aligned window DMAs
             and ccfg.passband_impl == "matmul"
             and ccfg.tail_impl == "pallas"
-            and chain._pallas_tail_ok(ccfg, (cfg.n_chan,)))
+            and chain._pallas_tail_ok(ccfg, (cfg.n_chan,))):
+        return False
+    # one rung of the time-major FIR ladder must actually serve this
+    # chunk: the in-tail fused block plan, or the standalone time-major
+    # Toeplitz (chunk % block == 0). Odd chunks (e.g. a trimmed file
+    # whose frame count only divides by 8) otherwise land on a path
+    # that raises — fall back to the chan-major pipeline instead.
+    bn = fir_matmul.tail_fir_block(ccfg.chunk, ccfg.n_taps,
+                                   chain._tail_tile(ccfg.chunk,
+                                                    ccfg.n_taps))
+    if bn is not None:
+        return True
+    try:
+        return ccfg.chunk % ccfg.fir_plan.block == 0
+    except Exception:
+        return False
 
 
 def _is_i16_pair(iq) -> bool:
@@ -463,13 +525,14 @@ def _process_traced_tmajor(cfg: WidebandConfig, params: WidebandParams,
                      if (cfg.chan_precision == "default"
                          and cfg.passband_precision == "default")
                      else jnp.float32)
-        n1f, n2f = channelizer._pick_factors(cfg.n_chan)
-        split2 = _split2_for(cfg, n2f)
+        n1f, n2f = _factors_for(cfg)
+        levels = _split_levels_for(cfg, n2f)
         pfb_carry, (raw_r, raw_i) = channelize_fused.channelize_fused_c(
             plan, params.W_pfb, state.pfb_carry, iq,
             bf16_mxu=(cfg.chan_precision == "default"),
             tile_t=cfg.chan_tile_t, interpret=not on_tpu,
-            out_layout="raw3", out_dtype=raw_dtype, split2=split2)
+            out_layout="raw3", out_dtype=raw_dtype,
+            factors=(n1f, n2f), split_levels=levels)
         # os_carry (bin-order [C, ov]): transpose of the TINY raw tail
         # [n1, ov, n2] → [n2, n1, ov] → [M, ov]; raw row p = col·n1+k1
         # is bin m = k2(col)·n1 + k1 — identity except under the
@@ -478,8 +541,8 @@ def _process_traced_tmajor(cfg: WidebandConfig, params: WidebandParams,
             cfg.n_chan, ov).astype(jnp.float32)
         ti = jnp.transpose(raw_i[:, -ov:, :], (2, 0, 1)).reshape(
             cfg.n_chan, ov).astype(jnp.float32)
-        if split2:
-            colmap = channelizer.stageb_col_to_k2(n2f, True)
+        if levels:
+            colmap = channelizer.stageb_col_to_k2(n2f, levels)
             col_of_k2 = np.argsort(colmap)
             b = np.arange(cfg.n_chan)
             p_of_b = col_of_k2[b // n1f] * n1f + (b % n1f)

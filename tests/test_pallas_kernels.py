@@ -266,3 +266,33 @@ def test_fused_channelizer_stageb_split2(rng):
             jnp.asarray(np.zeros(2560 * 8, np.complex64)),
             interpret=True, out_layout="raw3", factors=(20, 128),
             split2=True)
+
+
+def test_fused_channelizer_stageb_split_two_levels(rng):
+    """The generalized L-level stage-B split (r5): two levels on a
+    (2, 512) factoring — stage-B MACs quartered, columns ordered by
+    stageb_col_to_k2(512, 2) (bit-reversed block index)."""
+    import jax
+    import jax.numpy as jnp
+    from supersdr_tpu.ops import channelizer as ch
+    from supersdr_tpu.ops.pallas import channelize_fused as cf
+
+    M, K, nf = 1024, 8, 64
+    n1, n2 = 2, 512
+    plan, proto = ch.design(M, K)
+    W = ch.taps_matrix(plan, proto)
+    carry = jnp.zeros(plan.history, jnp.complex64)
+    x = jnp.asarray((rng.normal(size=M * nf)
+                     + 1j * rng.normal(size=M * nf)).astype(np.complex64))
+    assert ch.stageb_split_ok(n2, 2) and not ch.stageb_split_ok(n2, 3)
+    col_of_k2 = np.argsort(ch.stageb_col_to_k2(n2, 2))
+    _, (r0, i0) = jax.jit(lambda c, xx: cf.channelize_fused_c(
+        plan, W, c, xx, bf16_mxu=False, interpret=True, tile_t=64,
+        out_layout="raw3", factors=(n1, n2)))(carry, x)
+    _, (r1, i1) = jax.jit(lambda c, xx: cf.channelize_fused_c(
+        plan, W, c, xx, bf16_mxu=False, interpret=True, tile_t=64,
+        out_layout="raw3", factors=(n1, n2), split_levels=2))(carry, x)
+    a0 = np.asarray(r0) + 1j * np.asarray(i0)
+    a1 = (np.asarray(r1) + 1j * np.asarray(i1))[:, :, col_of_k2]
+    err = float(np.linalg.norm(a1 - a0) / np.linalg.norm(a0))
+    assert err < 1e-4, err

@@ -442,3 +442,35 @@ def test_stageb_split2_pipeline_matches_unsplit():
     off_cfg = wideband.WidebandConfig(**base, chan_split2="off")
     assert not np.array_equal(wideband.audio_channel_order(on_cfg),
                               wideband.audio_channel_order(off_cfg))
+
+
+def test_chan_factors_override_pipeline():
+    """chan_factors=(n1, n2) overrides the planar DIF tree — e.g. a
+    radix-5-class stage A with a deeper stage-B split (r5). The
+    override must agree with the default factoring through the full
+    quality pipeline, each via its own audio_channel_order."""
+    base = dict(fs_in=1024 * 12_000, n_chan=1024, chunk_in=1024 * 128,
+                mode="AM", taps_per=4, n_taps=129, audio_rate=48_000,
+                **wideband.PROFILES["quality"])
+    rng = np.random.default_rng(41)
+    iq = ((rng.normal(size=(2, base["chunk_in"]))
+           + 1j * rng.normal(size=(2, base["chunk_in"]))) * 0.05
+          ).astype(np.complex64)
+    outs = {}
+    for name, extra in [("default", {}),
+                        ("f512", dict(chan_factors=(2, 512)))]:
+        cfg = wideband.WidebandConfig(**base, **extra)
+        assert wideband._planar_active(cfg), name
+        p = wideband.make_params(cfg)
+        st = wideband.init_state(cfg)
+        _, audio = wideband.process_many(cfg, p, st, iq)
+        inv = np.argsort(wideband.audio_channel_order(cfg))
+        outs[name] = np.asarray(audio)[:, :, inv]
+    n1, n2 = wideband._factors_for(
+        wideband.WidebandConfig(**base, chan_factors=(2, 512)))
+    assert (n1, n2) == (2, 512)
+    err = float(np.linalg.norm(outs["f512"] - outs["default"])
+                / np.linalg.norm(outs["default"]))
+    assert err < 1e-4, err          # dot3 tier: summation-order noise
+    with pytest.raises(ValueError):
+        wideband.WidebandConfig(**base, chan_factors=(3, 512))
