@@ -18,12 +18,16 @@ Methodology (rounds 1-4 post-mortems, VERDICT.md / docs/PERFORMANCE.md):
       - SMALL (16 chans): cross-backend AND cross-implementation, full
         audio readback, ≥50 dB SNR required.
       - MID (2560 chans, short chunk): exercises the HEADLINE's exact
-        kernel classes — the (10,256) DIF factor tree, the fused
+        kernel classes — the per-profile DIF factor tree ((10,256)
+        fast / (5,512)+2-level stage-B split quality), the fused
         channelizer, the time-major passband/tail — so a
         config-dependent numerical bug in the big shapes fails the gate
         (VERDICT r2 #2; this gate killed two plausible variants in r3).
       - MID-SSB (2560 chans, mode USB): the fused tail's ssb=True path
         at the headline channel count (VERDICT r3 #4).
+      - MID-NBFM (2560 chans, mode NBFM): the in-kernel discriminator
+        at the headline channel count (VERDICT r4 #3; Carson-safe FM
+        carriers, AGC manual — see _gate_nbfm).
     Oracle outputs are profile-independent (the oracle runs the plain
     path), so refs are computed once and shared across profiles.
   * Consistency check: the timed run's AGC-transient-aligned audio

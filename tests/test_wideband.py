@@ -474,3 +474,33 @@ def test_chan_factors_override_pipeline():
     assert err < 1e-4, err          # dot3 tier: summation-order noise
     with pytest.raises(ValueError):
         wideband.WidebandConfig(**base, chan_factors=(3, 512))
+
+
+def test_headline_quality_factoring_and_order_maps():
+    """The shipped quality profile at the headline channel count runs
+    the min-n1 (5, 512) tree with a 2-level stage-B split; the fast
+    profile keeps (10, 256) unsplit. Order maps must be permutations
+    that agree with the factoring."""
+    base = dict(fs_in=30_720_000, n_chan=2560, chunk_in=2560 * 512,
+                mode="AM", taps_per=8, n_taps=257, audio_rate=48_000)
+    q = wideband.WidebandConfig(**base, **wideband.PROFILES["quality"])
+    f = wideband.WidebandConfig(**base, **wideband.PROFILES["fast"])
+    assert wideband._planar_active(q) and wideband._planar_active(f)
+    assert wideband._factors_for(q) == (5, 512)
+    assert wideband._split_levels_for(q, 512) == 2
+    assert wideband._factors_for(f) == (10, 256)
+    assert wideband._split_levels_for(f, 256) == 0
+    for cfg, (n1, n2) in ((q, (5, 512)), (f, (10, 256))):
+        order = wideband.audio_channel_order(cfg)
+        assert sorted(order) == list(range(2560))     # a permutation
+        # row 0 is plane 0 / column 0 → k2 = 0 → bin 0 either way
+        assert order[0] == 0
+    # quality order: row 1 (plane 0, col 1) → k2 = 2^L·1 = 4 → bin 4·5
+    assert wideband.audio_channel_order(q)[1] == 20
+    # fast order: row 1 → k2 = 1 → bin 1·10
+    assert wideband.audio_channel_order(f)[1] == 10
+    # the mesh picks the SAME tree at d=1 per tier (bit-identity basis)
+    from supersdr_tpu.parallel import sharded_wideband as sw
+    assert sw._planar_factors_for(2560, 1, 512) == (5, 512, 5)
+    assert sw._planar_factors_for(2560, 1, 256) == (10, 256, 10)
+    assert sw._planar_factors_for(2560, 4, 256) == (20, 128, 20)
