@@ -31,9 +31,9 @@ from supersdr_tpu.runtime import chain
 # resample, triple-buffered window DMAs, in-kernel RSSI):
 # "fast" = 7746 Msps/chip at ~54 dB oracle audio SNR (1-pass bf16 MXU;
 # 8861 Msps at int16 ingest; round 5);
-# "quality" = 5603 Msps at ~82 dB (split-bf16 ×3 in-kernel dots — the
-# precision trick XLA folds away but Mosaic preserves — with the
-# radix-2 stage-B split halving the dot3 stage; 6375 Msps at int16
+# "quality" = 5808 Msps at ~82 dB (split-bf16 ×3 in-kernel dots — the
+# precision trick XLA folds away but Mosaic preserves — on the min-n1
+# (5, 512) tree with the 2-level stage-B split; 6640 Msps at int16
 # ingest). The kernels
 # need a working Mosaic toolchain and lane-multiple n_chan factors;
 # other shapes fall back to the XLA paths automatically (the SMALL
